@@ -1,0 +1,71 @@
+"""PreSync: brute-force coarse delay search as one vmapped launch.
+
+TPU-native rebuild of `pre_sync` / `DebugPreSync`
+(ref: src/core/core_private.cpp:61-90, 336-361). The reference runs a
+sequential delay loop with a TBB parallel frame loop inside; here the
+whole (delay-grid x frames x features x hypotheses) volume is a single
+XLA computation: `vmap` over the delay axis of a per-window cost that
+itself batches frames and RANSAC hypotheses.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rssync_tpu.core.problem import SplineTable, TrackWindow, compute_problem
+from rssync_tpu.core.ransac import guess_motion
+from rssync_tpu.ops.robust import clamp_k, safe_norm
+
+#: RANSAC hypothesis count inside the coarse cost (ref :77).
+PRESYNC_RANSAC_ITERS = 20
+
+
+def window_cost(
+    table: SplineTable, win: TrackWindow, delay, key: jax.Array
+) -> jnp.ndarray:
+    """Approximate sync cost of one window at one delay.
+
+    Per frame (ref core_private.cpp:73-86):
+        P = compute_problem(frame, delay)
+        M = guess_translational_motion(P, 20)
+        k = clamp(1e2 / |P M|, 10, 1000)
+        r = (P M) * k / |M|
+        frame cost = sqrt( sum_i sqrt(log1p(r_i^2)) )
+    window cost = sum over frames.
+    """
+    F = win.num_frames
+    P = compute_problem(table, win, delay)  # (F, N, 3)
+    keys = jax.random.split(key, F)
+    M = jax.vmap(lambda p, c, k: guess_motion(p, c, k, PRESYNC_RANSAC_ITERS))(
+        P, win.counts, keys
+    )  # (F, 3)
+    PM = jnp.einsum("fnc,fc->fn", P, M)  # padded rows are zero
+    k = clamp_k(1e2 / safe_norm(PM, axis=1))  # (F,)
+    r = PM * (k / safe_norm(M, axis=1))[:, None]
+    rho = jnp.log1p(r * r)
+    frame_cost = jnp.sqrt(jnp.sum(jnp.sqrt(rho), axis=1))
+    return jnp.sum(frame_cost * win.frame_mask)
+
+
+@partial(jax.jit, static_argnames=())
+def presync_scan(
+    table: SplineTable,
+    win: TrackWindow,
+    delays: jnp.ndarray,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Costs for every delay in `delays` — one launch for the whole
+    grid (ref's sequential loop at core_private.cpp:69-87). Fresh
+    RANSAC draws per (delay, frame), like the reference's per-task
+    thread-local RNG, but keyed."""
+    keys = jax.random.split(key, delays.shape[0])
+    return jax.vmap(lambda d, k: window_cost(table, win, d, k))(delays, keys)
+
+
+def presync_best(costs: jnp.ndarray, delays: jnp.ndarray):
+    """(min cost, argmin delay) — the pair-compare of ref :89."""
+    i = jnp.argmin(costs)
+    return costs[i], delays[i]

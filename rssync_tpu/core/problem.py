@@ -1,0 +1,177 @@
+"""Device-resident sync-problem tensors and the epipolar residual builder.
+
+TPU-native rebuild of `OptData`/`FrameData` + `opt_compute_problem`
+(ref: src/core/core_private.hpp:8-22, core_private.cpp:15-32).
+
+The reference stores per-frame ragged ray matrices in a hash map and
+loops over features; here a sync window is one padded, fixed-shape
+pytree of arrays (frames x features) so the whole window — and a whole
+batch of windows — is a single XLA computation.
+
+Timestamp precision: instead of the reference's
+`at = (ts - quats_start + delay) * sample_rate` in f64
+(core_private.cpp:18-19), spline positions are pre-split on the host
+into an int32 base index `i0` (exact) plus an f32 fraction `f0`; the
+device evaluates at `i0 + (f0 + delay * sample_rate)` so only small
+numbers ever live in f32 (see ops/spline.py docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rssync_tpu.ops import quat
+from rssync_tpu.ops.spline import eval_spline, fit_natural_cubic
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SplineTable:
+    """Fitted gyro-orientation spline, device side.
+
+    coeffs: (n_knots, 4, 4) — natural-cubic coefficients (y, b, c, d)
+            for the 4 quaternion rows (w, x, y, z).
+    sample_rate: () f32 — knots per second.
+    """
+
+    coeffs: jnp.ndarray
+    sample_rate: jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TrackWindow:
+    """One sync window: padded (F frames x N features) track tensors.
+
+    rays_a/rays_b: (F, N, 3) unit observation rays in the two frames.
+    i0_a/i0_b:     (F, N) int32 spline base index at delay = 0.
+    f0_a/f0_b:     (F, N) f32 fractional spline position at delay = 0.
+    feat_mask:     (F, N) f32 1.0 for valid features else 0.0.
+    frame_mask:    (F,)  f32 1.0 for valid frames else 0.0.
+    counts:        (F,)  int32 number of valid features per frame.
+    """
+
+    rays_a: jnp.ndarray
+    rays_b: jnp.ndarray
+    i0_a: jnp.ndarray
+    i0_b: jnp.ndarray
+    f0_a: jnp.ndarray
+    f0_b: jnp.ndarray
+    feat_mask: jnp.ndarray
+    frame_mask: jnp.ndarray
+    counts: jnp.ndarray
+
+    @property
+    def num_frames(self) -> int:
+        return self.rays_a.shape[0]
+
+    @property
+    def num_features(self) -> int:
+        return self.rays_a.shape[1]
+
+
+def make_spline_table(
+    quats: np.ndarray, sample_rate: float, dtype=jnp.float32
+) -> SplineTable:
+    """Fit the orientation spline on host (f64) and ship f32 coefficients.
+
+    quats: (n, 4) quaternion samples on a uniform grid at `sample_rate`.
+    Equivalent of ndspline::make over the 4 rows (ref: ndspline.cpp:13-19).
+    """
+    quats = np.asarray(quats, dtype=np.float64)
+    coeffs = fit_natural_cubic(quats.T)  # (n, 4, 4)
+    return SplineTable(
+        coeffs=jnp.asarray(coeffs, dtype=dtype),
+        sample_rate=jnp.asarray(sample_rate, dtype=dtype),
+    )
+
+
+def build_track_window(
+    frames_ts_a: Sequence[np.ndarray],
+    frames_ts_b: Sequence[np.ndarray],
+    frames_rays_a: Sequence[np.ndarray],
+    frames_rays_b: Sequence[np.ndarray],
+    quats_start: float,
+    sample_rate: float,
+    max_frames: int | None = None,
+    max_features: int | None = None,
+    dtype=jnp.float32,
+) -> TrackWindow:
+    """Assemble padded window tensors from per-frame ragged track data.
+
+    Host-side (numpy, f64 for the timestamp split). The i-th entries of
+    the four sequences describe one frame's correspondences, timestamps
+    in seconds (already rolling-shutter corrected per ray).
+    """
+    F = len(frames_ts_a)
+    Fp = max_frames or F
+    N = max((len(t) for t in frames_ts_a), default=1)
+    Np = max_features or max(N, 1)
+
+    rays_a = np.zeros((Fp, Np, 3), dtype=np.float64)
+    rays_b = np.zeros((Fp, Np, 3), dtype=np.float64)
+    i0_a = np.zeros((Fp, Np), dtype=np.int32)
+    i0_b = np.zeros((Fp, Np), dtype=np.int32)
+    f0_a = np.zeros((Fp, Np), dtype=np.float64)
+    f0_b = np.zeros((Fp, Np), dtype=np.float64)
+    feat_mask = np.zeros((Fp, Np), dtype=np.float64)
+    frame_mask = np.zeros((Fp,), dtype=np.float64)
+    counts = np.zeros((Fp,), dtype=np.int32)
+
+    for f in range(F):
+        n = len(frames_ts_a[f])
+        if n == 0:
+            continue
+        pos_a = (np.asarray(frames_ts_a[f], np.float64) - quats_start) * sample_rate
+        pos_b = (np.asarray(frames_ts_b[f], np.float64) - quats_start) * sample_rate
+        ia = np.floor(pos_a).astype(np.int32)
+        ib = np.floor(pos_b).astype(np.int32)
+        i0_a[f, :n] = ia
+        i0_b[f, :n] = ib
+        f0_a[f, :n] = pos_a - ia
+        f0_b[f, :n] = pos_b - ib
+        rays_a[f, :n] = np.asarray(frames_rays_a[f], np.float64)
+        rays_b[f, :n] = np.asarray(frames_rays_b[f], np.float64)
+        feat_mask[f, :n] = 1.0
+        frame_mask[f] = 1.0
+        counts[f] = n
+
+    return TrackWindow(
+        rays_a=jnp.asarray(rays_a, dtype),
+        rays_b=jnp.asarray(rays_b, dtype),
+        i0_a=jnp.asarray(i0_a),
+        i0_b=jnp.asarray(i0_b),
+        f0_a=jnp.asarray(f0_a, dtype),
+        f0_b=jnp.asarray(f0_b, dtype),
+        feat_mask=jnp.asarray(feat_mask, dtype),
+        frame_mask=jnp.asarray(frame_mask, dtype),
+        counts=jnp.asarray(counts),
+    )
+
+
+def compute_problem(
+    table: SplineTable, win: TrackWindow, gyro_delay
+) -> jnp.ndarray:
+    """Epipolar residual rows for every (frame, feature) at one delay.
+
+    Returns P: (F, N, 3) where row (f, i) = cross(ar, br) with
+    ar = conj(q(t_a_i + delay)) rotating ray_a_i and likewise br —
+    the pure-translation epipolar constraint rows satisfying
+    P . M ~= 0 at the correct delay
+    (ref: src/core/core_private.cpp:15-32). Padded rows are zeroed.
+
+    Fully batched: 2*F*N spline evals (gather+Horner), quaternion
+    normalize/conj/rotate on the VPU, one cross product. vmap-able over
+    a leading delay axis and a leading window axis.
+    """
+    shift = gyro_delay * table.sample_rate
+    q_a = quat.normalize(eval_spline(table.coeffs, win.i0_a, win.f0_a + shift))
+    q_b = quat.normalize(eval_spline(table.coeffs, win.i0_b, win.f0_b + shift))
+    ar = quat.rotate_point(quat.conj(q_a), win.rays_a)
+    br = quat.rotate_point(quat.conj(q_b), win.rays_b)
+    return jnp.cross(ar, br) * win.feat_mask[..., None]

@@ -1,0 +1,84 @@
+"""RANSAC-style translation-direction guesser, vmapped over hypotheses.
+
+TPU-native rebuild of `opt_guess_translational_motion`
+(ref: src/core/core_private.cpp:34-59): hypotheses are cross products
+of two distinct random rows of the *raw* residual matrix P; each is
+scored by the 25th-percentile squared residual of the *row-normalized*
+P against the hypothesis (the code uses n_rows/4 — the thesis says
+median, the code quartile; we follow the code per SURVEY §2.1); the
+best of `iters` hypotheses wins.
+
+Differences by design:
+* deterministic keyed `jax.random` instead of the reference's
+  `std::random_device`-seeded thread-local MT19937
+  (ref: src/core_support/inline_utils.hpp:13-17) — runs reproduce.
+* distinct pairs come from an arithmetic shift instead of a rejection
+  loop: r1 drawn from [0, count-2] then incremented when r1 >= r0.
+  Exactly uniform over distinct ordered pairs, fixed shape.
+* all `iters` hypotheses are evaluated in one batched computation
+  (sort over the feature axis) instead of a sequential loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rssync_tpu.ops.robust import safe_normalize
+
+
+def sample_pairs(key: jax.Array, iters: int, count) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Draw `iters` ordered pairs of distinct row indices in [0, count).
+
+    `count` may be a traced int32 scalar (valid rows of a padded frame).
+    Degenerate frames (count < 2) produce indices clamped into range;
+    callers mask those frames out downstream.
+    """
+    k0, k1 = jax.random.split(key)
+    c = jnp.maximum(count, 2)
+    r0 = jax.random.randint(k0, (iters,), 0, c)
+    r1 = jax.random.randint(k1, (iters,), 0, c - 1)
+    r1 = r1 + (r1 >= r0)
+    return r0, r1
+
+
+def guess_motion_from_pairs(
+    P: jnp.ndarray, count, r0: jnp.ndarray, r1: jnp.ndarray
+) -> jnp.ndarray:
+    """Pick the best translation-direction hypothesis given sampled pairs.
+
+    P: (N, 3) residual rows (padded rows zero). count: () int32.
+    r0/r1: (iters,) row indices. Returns (3,) unit direction.
+    """
+    N = P.shape[0]
+    nP = safe_normalize(P)  # row-normalized copy (ref :36-37)
+    # hypotheses from RAW rows (ref :42-43)
+    v = safe_normalize(jnp.cross(P[r0], P[r1]))  # (iters, 3)
+    res = nP @ v.T  # (N, iters)
+    res2 = res * res
+    valid = (jnp.arange(N) < count)[:, None]
+    res2 = jnp.where(valid, res2, jnp.inf)
+    res2_sorted = jnp.sort(res2, axis=0)
+    # quartile of the VALID rows (ref :51-52 with n_rows == count)
+    med = jnp.take(res2_sorted, jnp.maximum(count, 1) // 4, axis=0)  # (iters,)
+    best = jnp.argmin(med)
+    v_best = v[best]
+    # Degenerate-frame guard (deviation from the reference, which keeps
+    # the unnormalized tiny cross product — harmless in f64, fatal in
+    # f32: ||M||^4 underflows in the loss gradient). When every
+    # hypothesis is near-zero (all P rows ~ 0, i.e. the delay is
+    # already perfect for a pure-rotation frame), any unit direction
+    # fits the zero residuals equally well; pick +z.
+    tiny = jnp.linalg.norm(v_best) < 1e-6
+    fallback = jnp.asarray([0.0, 0.0, 1.0], v_best.dtype)
+    return jnp.where(tiny, fallback, v_best)
+
+
+def guess_motion(
+    P: jnp.ndarray, count, key: jax.Array, iters: int
+) -> jnp.ndarray:
+    """Full guesser: sample pairs then score
+    (ref: core_private.cpp:34-59). iters is static (20 in PreSync,
+    200 in Sync's GuessMotion)."""
+    r0, r1 = sample_pairs(key, iters, count)
+    return guess_motion_from_pairs(P, count, r0, r1)
