@@ -1,0 +1,42 @@
+"""Sync-quality metric: RMSE of per-window delays against a linear
+delay-drift model — the reference's accuracy measure
+(ref: python/plot_sync.py:19-50; thesis §1.6/§3.4 per SURVEY §4/6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class SyncQuality:
+    slope: float       # delay drift per frame
+    intercept: float   # delay at frame 0
+    rmse: float        # std of (fit - measured), the headline number
+    residuals: np.ndarray
+
+
+def sync_rmse(frames: np.ndarray, delays_ms: np.ndarray) -> SyncQuality:
+    """Least-squares line through (frame, delay) pairs; RMSE =
+    std(fit - measured), matching plot_sync.py:44-50 exactly."""
+    frames = np.asarray(frames, np.float64)
+    delays_ms = np.asarray(delays_ms, np.float64)
+    A = np.stack([frames, np.ones_like(frames)], axis=1)
+    (slope, intercept), *_ = np.linalg.lstsq(A, delays_ms, rcond=None)
+    fit = intercept + slope * frames
+    resid = fit - delays_ms
+    return SyncQuality(
+        slope=float(slope),
+        intercept=float(intercept),
+        rmse=float(np.std(resid)),
+        residuals=resid,
+    )
+
+
+def sync_rmse_from_csv(path: str) -> SyncQuality:
+    """Metric over a `<frame>,<delay_ms>` sync CSV (the driver's
+    output format, ref core_testcode.cpp:315)."""
+    data = np.loadtxt(path, delimiter=",", ndmin=2)
+    return sync_rmse(data[:, 0], data[:, 1])

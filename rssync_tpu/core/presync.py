@@ -23,31 +23,36 @@ from rssync_tpu.ops.robust import clamp_k, safe_norm
 PRESYNC_RANSAC_ITERS = 20
 
 
-def window_cost(
-    table: SplineTable, win: TrackWindow, delay, key: jax.Array
-) -> jnp.ndarray:
-    """Approximate sync cost of one window at one delay.
+def cost_with_motion(P: jnp.ndarray, M: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
+    """Window cost given per-frame translation directions M (F, 3).
 
-    Per frame (ref core_private.cpp:73-86):
-        P = compute_problem(frame, delay)
-        M = guess_translational_motion(P, 20)
+    Per frame (ref core_private.cpp:79-85):
         k = clamp(1e2 / |P M|, 10, 1000)
         r = (P M) * k / |M|
         frame cost = sqrt( sum_i sqrt(log1p(r_i^2)) )
     window cost = sum over frames.
     """
+    PM = jnp.einsum("fnc,fc->fn", P, M)  # padded rows are zero
+    k = clamp_k(1e2 / safe_norm(PM, axis=1))  # (F,)
+    r = PM * (k / safe_norm(M, axis=1))[:, None]
+    rho = jnp.log1p(r * r)
+    frame_cost = jnp.sqrt(jnp.sum(jnp.sqrt(rho), axis=1))
+    return jnp.sum(frame_cost * frame_mask)
+
+
+def window_cost(
+    table: SplineTable, win: TrackWindow, delay, key: jax.Array
+) -> jnp.ndarray:
+    """Approximate sync cost of one window at one delay
+    (ref core_private.cpp:73-86): per-frame 20-hypothesis RANSAC
+    motion, then the robust cost above."""
     F = win.num_frames
     P = compute_problem(table, win, delay)  # (F, N, 3)
     keys = jax.random.split(key, F)
     M = jax.vmap(lambda p, c, k: guess_motion(p, c, k, PRESYNC_RANSAC_ITERS))(
         P, win.counts, keys
     )  # (F, 3)
-    PM = jnp.einsum("fnc,fc->fn", P, M)  # padded rows are zero
-    k = clamp_k(1e2 / safe_norm(PM, axis=1))  # (F,)
-    r = PM * (k / safe_norm(M, axis=1))[:, None]
-    rho = jnp.log1p(r * r)
-    frame_cost = jnp.sqrt(jnp.sum(jnp.sqrt(rho), axis=1))
-    return jnp.sum(frame_cost * win.frame_mask)
+    return cost_with_motion(P, M, win.frame_mask)
 
 
 @partial(jax.jit, static_argnames=())

@@ -1,0 +1,441 @@
+"""Camera telemetry ingest: GoPro GPMF (MP4), GyroFlow .gcsv, plain CSV.
+
+Rebuild of the reference's Rust `telemetry-parser-cpp` cdylib
+(ref: rust/telemetry-parser-cpp/src/lib.rs:17-61, C ABI
+inc/telemetry-parser.h:7-18), which wraps the external
+`telemetry-parser` crate. Since the rebuild environment has no Rust,
+the native equivalent is a C++ GPMF parser (native/gpmf/, loaded via
+ctypes when built — same `tp_load_gyro` contract) with this module as
+the always-available Python implementation and dispatcher.
+
+Outputs match the reference ABI semantics: timestamps in **seconds**
+(the Rust wrapper converts ms -> s, lib.rs:52) and angular rates in
+**rad/s** (the wrapper converts the crate's deg/s output, lib.rs:50).
+
+Orientation strings: 3 chars from {x,X,y,Y,z,Z}; output axis i takes
+the named source component, lowercase = negated (e.g. "yZX" -> out_x =
+-y_src... no: out_x = +?). Precisely: out[:, i] = sign(c_i) *
+src[:, axis(c_i)] with sign = +1 for uppercase. The reference warns
+its orient convention is not GyroFlow's (README.md:47); ours is
+defined here and the `guess_orient` pipeline mode searches all 48
+variants regardless (ref: core_testcode.cpp:184-233).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from rssync_tpu.utils.checks import SyncPanic
+
+# ---------------------------------------------------------------------------
+# public surface
+
+
+@dataclass
+class GyroData:
+    """Mirror of `tp_gyrodata` (ref: inc/telemetry-parser.h:8-12):
+    timestamps (n,) seconds f64; gyro (n, 3) rad/s f64."""
+
+    timestamps: np.ndarray
+    gyro: np.ndarray
+
+    @property
+    def samples(self) -> int:
+        return len(self.timestamps)
+
+
+_ORIENT_AXES = {"x": 0, "y": 1, "z": 2}
+
+
+def apply_orientation(gyro: np.ndarray, orient: str | None) -> np.ndarray:
+    """Axis remap/sign flip per the orientation string."""
+    if not orient:
+        return gyro
+    if len(orient) != 3 or any(c.lower() not in _ORIENT_AXES for c in orient):
+        raise ValueError(f"bad orientation string {orient!r}")
+    out = np.empty_like(gyro)
+    for i, c in enumerate(orient):
+        sign = 1.0 if c.isupper() else -1.0
+        out[:, i] = sign * gyro[:, _ORIENT_AXES[c.lower()]]
+    return out
+
+
+def load_gyro(path: str, orient: str | None = None,
+              prefer_native: bool = True) -> GyroData:
+    """`tp_load_gyro` equivalent: auto-detect format by content/
+    extension, return normalized gyro (ref: lib.rs:17-61). Tries the
+    native C++ parser first (if built), falls back to Python."""
+    if prefer_native:
+        native = _native_load(path, orient)
+        if native is not None:
+            return native
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".gcsv":
+        data = parse_gcsv(path)
+    elif ext in (".mp4", ".mov", ".360"):
+        data = parse_mp4_gpmf(path)
+    elif ext == ".csv":
+        data = parse_csv(path)
+    else:
+        # content sniff: MP4 starts with a box header whose type is
+        # printable 4cc at offset 4 ('ftyp' usually)
+        with open(path, "rb") as f:
+            head = f.read(8)
+        if len(head) == 8 and head[4:8] in (b"ftyp", b"moov", b"mdat"):
+            data = parse_mp4_gpmf(path)
+        else:
+            data = parse_gcsv(path)
+    data.gyro = apply_orientation(data.gyro, orient)
+    return data
+
+
+# ---------------------------------------------------------------------------
+# native C++ parser hook (same C ABI as the reference wrapper)
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+class _TpGyroData(ctypes.Structure):
+    _fields_ = [
+        ("samples", ctypes.c_size_t),
+        ("timestamps", ctypes.POINTER(ctypes.c_double)),
+        ("gyro", ctypes.POINTER(ctypes.c_double)),
+    ]
+
+
+def _native_lib():
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (
+        os.path.join(here, "..", "native", "gpmf", "librssync_gpmf.so"),
+        os.path.join(here, "native", "librssync_gpmf.so"),
+    ):
+        cand = os.path.abspath(cand)
+        if os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            lib.tp_load_gyro.restype = _TpGyroData
+            lib.tp_load_gyro.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+            lib.tp_free.restype = None
+            lib.tp_free.argtypes = [_TpGyroData]
+            _NATIVE_LIB = lib
+            break
+    return _NATIVE_LIB
+
+
+def _native_load(path: str, orient: str | None) -> GyroData | None:
+    lib = _native_lib()
+    if lib is None:
+        return None
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in (".mp4", ".mov", ".360"):
+        return None  # native parser handles GPMF containers only
+    res = lib.tp_load_gyro(
+        path.encode(), orient.encode() if orient else None
+    )
+    if res.samples == 0:
+        return None  # fall back to Python for diagnostics
+    n = int(res.samples)
+    ts = np.ctypeslib.as_array(res.timestamps, shape=(n,)).copy()
+    gy = np.ctypeslib.as_array(res.gyro, shape=(n, 3)).copy()
+    lib.tp_free(res)
+    # the native lib applies orientation itself (ABI parity) — the
+    # caller's apply_orientation must not run twice, so return through
+    # load_gyro's orient=None path: we already oriented here.
+    return GyroData(timestamps=ts, gyro=apply_orientation(gy, None))
+
+
+# ---------------------------------------------------------------------------
+# GyroFlow .gcsv
+
+
+def parse_gcsv(path: str) -> GyroData:
+    """GyroFlow gcsv: header key,value lines (tscale/gscale/...) then
+    `t,gx,gy,gz[,ax,ay,az]` rows. gscale converts to rad/s."""
+    tscale, gscale = 1.0, 1.0
+    rows = []
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(",")
+            k = parts[0].lower()
+            if k == "tscale":
+                tscale = float(parts[1])
+            elif k == "gscale":
+                gscale = float(parts[1])
+            elif k in ("ascale", "mscale", "version", "id", "orientation",
+                       "videofilename", "lensprofile", "lens_profile",
+                       "vendor", "frequency", "note"):
+                continue
+            elif k in ("t", "time"):
+                continue  # column header
+            else:
+                try:
+                    rows.append([float(v) for v in parts[:4]])
+                except ValueError:
+                    continue
+    if not rows:
+        raise SyncPanic(f"no gyro rows in {path}")
+    arr = np.asarray(rows, np.float64)
+    return GyroData(timestamps=arr[:, 0] * tscale, gyro=arr[:, 1:4] * gscale)
+
+
+def parse_csv(path: str) -> GyroData:
+    """Plain CSV `t_seconds,gx,gy,gz` (rad/s), optional header line."""
+    data = np.genfromtxt(path, delimiter=",", skip_header=0)
+    if data.ndim != 2 or np.isnan(data[0]).any():
+        data = np.genfromtxt(path, delimiter=",", skip_header=1)
+    if data.ndim != 2 or data.shape[1] < 4:
+        raise SyncPanic(f"bad gyro csv {path}")
+    return GyroData(timestamps=data[:, 0], gyro=data[:, 1:4])
+
+
+# ---------------------------------------------------------------------------
+# GoPro GPMF inside MP4
+
+_GPMF_TYPE_FMT = {
+    ord("b"): ("b", 1), ord("B"): ("B", 1),
+    ord("s"): (">h", 2), ord("S"): (">H", 2),
+    ord("l"): (">i", 4), ord("L"): (">I", 4),
+    ord("f"): (">f", 4), ord("d"): (">d", 8),
+    ord("j"): (">q", 8), ord("J"): (">Q", 8),
+}
+
+
+def _iter_boxes(buf, start, end):
+    """Yield (fourcc, payload_start, payload_end) for ISO-BMFF boxes."""
+    off = start
+    while off + 8 <= end:
+        size = struct.unpack_from(">I", buf, off)[0]
+        typ = bytes(buf[off + 4 : off + 8])
+        hdr = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr:
+            break
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def _find_box(buf, start, end, path):
+    """Descend a path of box fourccs; return (payload_start, payload_end)."""
+    cur = [(start, end)]
+    for name in path:
+        nxt = []
+        for s, e in cur:
+            for typ, ps, pe in _iter_boxes(buf, s, e):
+                if typ == name:
+                    nxt.append((ps, pe))
+        if not nxt:
+            return []
+        cur = nxt
+    return cur
+
+
+def _parse_klv(buf, start, end, out, depth=0):
+    """Recursive GPMF KLV walk collecting per-stream fields."""
+    off = start
+    while off + 8 <= end:
+        key = bytes(buf[off : off + 4])
+        typ = buf[off + 4]
+        ssize = buf[off + 5]
+        repeat = struct.unpack_from(">H", buf, off + 6)[0]
+        dlen = ssize * repeat
+        dstart = off + 8
+        if typ == 0:  # nested container
+            if key == b"STRM":
+                stream: dict = {}
+                _parse_klv(buf, dstart, dstart + dlen, stream, depth + 1)
+                out.setdefault("streams", []).append(stream)
+            else:
+                _parse_klv(buf, dstart, dstart + dlen, out, depth + 1)
+        else:
+            out[key] = (typ, ssize, repeat, dstart)
+        off = dstart + ((dlen + 3) & ~3)
+
+
+def _decode_values(buf, field):
+    typ, ssize, repeat, dstart = field
+    if typ == ord("c"):
+        return bytes(buf[dstart : dstart + ssize * repeat])
+    fmt = _GPMF_TYPE_FMT.get(typ)
+    if fmt is None:
+        return None
+    code, width = fmt
+    per = ssize // width
+    vals = []
+    for r in range(repeat):
+        base = dstart + r * ssize
+        vals.append(
+            [struct.unpack_from(code, buf, base + i * width)[0] for i in range(per)]
+        )
+    return np.asarray(vals, np.float64)
+
+
+def _orin_remap(raw: np.ndarray, orin: bytes | None, orio: bytes | None):
+    """GoPro ORIN/ORIO orientation normalization: for each output axis
+    letter in ORIO (default XYZ), pick the ORIN position with the same
+    letter (case-insensitive); negate when cases differ."""
+    if not orin:
+        return raw
+    orio = orio or b"XYZ"
+    out = np.empty_like(raw)
+    for j in range(3):
+        want = chr(orio[j])
+        for i in range(3):
+            have = chr(orin[i])
+            if have.lower() == want.lower():
+                sign = 1.0 if (have.isupper() == want.isupper()) else -1.0
+                out[:, j] = sign * raw[:, i]
+                break
+        else:
+            return raw  # malformed ORIN: leave as-is
+    return out
+
+
+def parse_mp4_gpmf(path: str) -> GyroData:
+    """Extract the GPMF metadata track and decode GYRO samples with
+    SCAL scaling, ORIN/ORIO normalization, and stts-spread timestamps.
+    Reads the relevant boxes via mmap-ish buffer (the whole file is
+    memory-mapped, only touched pages load)."""
+    import mmap
+
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    buf = memoryview(mm)
+    try:
+        traks = _find_box(buf, 0, len(mm), [b"moov", b"trak"])
+        gp = None
+        for ts_, te_ in traks:
+            hdl = _find_box(buf, ts_, te_, [b"mdia", b"hdlr"])
+            if not hdl:
+                continue
+            hs, he = hdl[0]
+            if b"gpmd" not in bytes(buf[hs:he]) and b"GoPro MET" not in bytes(
+                buf[hs:he]
+            ):
+                stsd = _find_box(buf, ts_, te_, [b"mdia", b"minf", b"stbl", b"stsd"])
+                if not stsd or b"gpmd" not in bytes(buf[stsd[0][0] : stsd[0][1]]):
+                    continue
+            gp = (ts_, te_)
+            break
+        if gp is None:
+            raise SyncPanic(f"no GPMF track in {path}")
+        ts_, te_ = gp
+
+        def box(path_):
+            r = _find_box(buf, ts_, te_, path_)
+            return r[0] if r else None
+
+        mdhd = box([b"mdia", b"mdhd"])
+        version = buf[mdhd[0]]
+        timescale = struct.unpack_from(
+            ">I", buf, mdhd[0] + (20 if version == 1 else 12)
+        )[0]
+
+        stbl = [b"mdia", b"minf", b"stbl"]
+        stsz = box(stbl + [b"stsz"])
+        sample_size = struct.unpack_from(">I", buf, stsz[0] + 4)[0]
+        sample_count = struct.unpack_from(">I", buf, stsz[0] + 8)[0]
+        if sample_size == 0:
+            sizes = np.frombuffer(
+                buf, dtype=">u4", count=sample_count, offset=stsz[0] + 12
+            ).astype(np.int64)
+        else:
+            sizes = np.full(sample_count, sample_size, np.int64)
+
+        co = box(stbl + [b"stco"])
+        if co is not None:
+            nco = struct.unpack_from(">I", buf, co[0] + 4)[0]
+            offsets = np.frombuffer(
+                buf, dtype=">u4", count=nco, offset=co[0] + 8
+            ).astype(np.int64)
+        else:
+            co = box(stbl + [b"co64"])
+            nco = struct.unpack_from(">I", buf, co[0] + 4)[0]
+            offsets = np.frombuffer(
+                buf, dtype=">u8", count=nco, offset=co[0] + 8
+            ).astype(np.int64)
+
+        # sample->chunk mapping
+        stsc = box(stbl + [b"stsc"])
+        nsc = struct.unpack_from(">I", buf, stsc[0] + 4)[0]
+        stsc_rows = [
+            struct.unpack_from(">III", buf, stsc[0] + 8 + 12 * i) for i in range(nsc)
+        ]
+        # expand to per-sample file offsets
+        sample_offsets = np.zeros(sample_count, np.int64)
+        si = 0
+        for ri, (first_chunk, spc, _) in enumerate(stsc_rows):
+            last_chunk = (
+                stsc_rows[ri + 1][0] - 1 if ri + 1 < nsc else len(offsets)
+            )
+            for chunk in range(first_chunk, last_chunk + 1):
+                base = offsets[chunk - 1]
+                for _ in range(spc):
+                    if si >= sample_count:
+                        break
+                    sample_offsets[si] = base
+                    base += sizes[si]
+                    si += 1
+        # sample durations from stts
+        stts = box(stbl + [b"stts"])
+        nst = struct.unpack_from(">I", buf, stts[0] + 4)[0]
+        durs = []
+        for i in range(nst):
+            cnt, delta = struct.unpack_from(">II", buf, stts[0] + 8 + 8 * i)
+            durs.extend([delta] * cnt)
+        durs = np.asarray(durs[:sample_count], np.float64) / timescale
+        starts = np.concatenate([[0.0], np.cumsum(durs)[:-1]])
+
+        all_ts, all_gyro = [], []
+        for k in range(sample_count):
+            payload: dict = {}
+            _parse_klv(
+                buf, int(sample_offsets[k]), int(sample_offsets[k] + sizes[k]), payload
+            )
+            for stream in payload.get("streams", []):
+                if b"GYRO" not in stream:
+                    continue
+                raw = _decode_values(buf, stream[b"GYRO"])
+                if raw is None or raw.shape[1] != 3:
+                    continue
+                scal = (
+                    _decode_values(buf, stream[b"SCAL"])
+                    if b"SCAL" in stream
+                    else np.asarray([[1.0]])
+                )
+                scal = scal.reshape(-1)
+                vals = raw / (scal if len(scal) == 3 else scal[0])
+                orin = stream.get(b"ORIN")
+                orio = stream.get(b"ORIO")
+                vals = _orin_remap(
+                    vals,
+                    _decode_values(buf, orin) if orin else None,
+                    _decode_values(buf, orio) if orio else None,
+                )
+                n = len(vals)
+                t = starts[k] + durs[k] * np.arange(n) / max(n, 1)
+                all_ts.append(t)
+                all_gyro.append(vals)
+        if not all_ts:
+            raise SyncPanic(f"GPMF track has no GYRO stream in {path}")
+        return GyroData(
+            timestamps=np.concatenate(all_ts), gyro=np.concatenate(all_gyro)
+        )
+    finally:
+        buf.release()
+        mm.close()

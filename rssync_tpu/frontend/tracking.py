@@ -1,0 +1,333 @@
+"""Feature tracking front-end: host video decode + TPU pyramidal
+Lucas-Kanade tracking of a fixed feature grid, with rolling-shutter
+timestamp assignment and fisheye ray lifting.
+
+Rebuild of `track_frames` (ref: src/core_testcode.cpp:97-162). The
+reference runs OpenCV DIS dense optical flow per frame pair on the
+host and samples it at a fixed grid (step 200 px starting at
+(200, 200)); dense flow over 5.5 MPx is wildly more work than the
+~130 tracked points need. The TPU-native design tracks exactly the
+grid points with iterative pyramidal LK — every (point, level,
+iteration) is a fixed-shape vmapped computation in one jitted call per
+frame pair — and fuses the downstream undistort + rolling-shutter
+timestamping + unit-ray lifting into the same launch.
+
+A `method="dis"` path (host cv2 DIS at the same grid) is kept for
+cross-validation against the reference's tracker choice
+(SURVEY §7 step 6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Iterator
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rssync_tpu.ops import lens as lens_ops
+
+# LK parameters. Pyramid depth is auto-scaled to the image: LK locks
+# when the coarsest-level displacement is within the feature scale
+# (~4 px), so depth L gives ~4 * 2^(L-1) px of displacement capacity;
+# we deepen until the coarsest level is ~24 px across. For 2.7k GoPro
+# frames that is 7 levels ~= 250 px inter-frame motion capacity.
+LK_MIN_COARSE = 24
+LK_MAX_LEVELS = 7
+LK_RADIUS = 10  # 21x21 window
+LK_ITERS = 10
+
+
+def auto_levels(height: int, width: int) -> int:
+    import math
+
+    m = min(height, width)
+    return max(1, min(LK_MAX_LEVELS, int(math.floor(math.log2(m / LK_MIN_COARSE))) + 1))
+
+
+def grid_points(width: int, height: int, step: int = 200) -> np.ndarray:
+    """The reference's sampling grid: x-major from (step, step)
+    (ref: core_testcode.cpp:125-132)."""
+    pts = [
+        [float(i), float(j)]
+        for i in range(step, width, step)
+        for j in range(step, height, step)
+    ]
+    return np.asarray(pts, np.float64)
+
+
+# ---------------------------------------------------------------------------
+# device-side LK
+
+
+def _blur5(img: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Separable 5-tap Gaussian [1 4 6 4 1]/16 with edge padding."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (2, 2)
+    p = jnp.pad(img, pad, mode="edge")
+    n = img.shape[axis]
+
+    def sl(off):
+        idx = [slice(None), slice(None)]
+        idx[axis] = slice(off, off + n)
+        return p[tuple(idx)]
+
+    return (sl(0) + 4.0 * sl(1) + 6.0 * sl(2) + 4.0 * sl(3) + sl(4)) / 16.0
+
+
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian blur + 2x decimation (anti-aliased pyramid level, like
+    cv2.pyrDown). Plain 2x2 pooling aliases high-frequency texture and
+    breaks coarse-level LK for large motions."""
+    img = _blur5(_blur5(img, 0), 1)
+    return img[::2, ::2]
+
+
+def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
+    pyr = [img]
+    for _ in range(1, levels):
+        pyr.append(_downsample2(pyr[-1]))
+    return pyr
+
+
+def _bilinear_patches(img: jnp.ndarray, centers: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Sample (2r+1)^2 windows at fractional centers.
+
+    img: (H, W); centers: (N, 2) xy. Returns (N, 2r+1, 2r+1).
+    Implemented as 4 clipped gathers + lerp — maps to vectorized
+    gathers on TPU.
+    """
+    H, W = img.shape
+    w = 2 * radius + 1
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-radius, radius + 1, dtype=img.dtype),
+        jnp.arange(-radius, radius + 1, dtype=img.dtype),
+        indexing="ij",
+    )
+    x = centers[:, 0, None, None] + dx[None]
+    y = centers[:, 1, None, None] + dy[None]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    flat = img.reshape(-1)
+    idx = y0i * W + x0i
+    p00 = jnp.take(flat, idx)
+    p01 = jnp.take(flat, idx + 1)
+    p10 = jnp.take(flat, idx + W)
+    p11 = jnp.take(flat, idx + W + 1)
+    return (
+        p00 * (1 - fx) * (1 - fy)
+        + p01 * fx * (1 - fy)
+        + p10 * (1 - fx) * fy
+        + p11 * fx * fy
+    )
+
+
+def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int):
+    """One pyramid level of iterative LK for all points.
+
+    pts_level: (N, 2) point positions in this level's coordinates.
+    guess: (N, 2) current displacement estimate. Returns refined (N, 2).
+    """
+    # template patch + gradients from image A (fixed over iterations)
+    patch_a = _bilinear_patches(img_a, pts_level, radius + 1)  # (N, w+2, w+2)
+    ix = 0.5 * (patch_a[:, 1:-1, 2:] - patch_a[:, 1:-1, :-2])
+    iy = 0.5 * (patch_a[:, 2:, 1:-1] - patch_a[:, :-2, 1:-1])
+    t = patch_a[:, 1:-1, 1:-1]
+    gxx = jnp.sum(ix * ix, axis=(1, 2))
+    gxy = jnp.sum(ix * iy, axis=(1, 2))
+    gyy = jnp.sum(iy * iy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    inv_ok = det > 1e-6
+    det_safe = jnp.where(inv_ok, det, 1.0)
+
+    def body(_, d):
+        patch_b = _bilinear_patches(img_b, pts_level + d, radius)
+        e = patch_b - t
+        bx = jnp.sum(ix * e, axis=(1, 2))
+        by = jnp.sum(iy * e, axis=(1, 2))
+        du = (gyy * bx - gxy * by) / det_safe
+        dv = (gxx * by - gxy * bx) / det_safe
+        step = jnp.stack([du, dv], axis=-1)
+        step = jnp.where(inv_ok[:, None], step, 0.0)
+        return d - step
+
+    return jax.lax.fori_loop(0, iters, body, guess)
+
+
+def lk_track(
+    img_a: jnp.ndarray,
+    img_b: jnp.ndarray,
+    pts: jnp.ndarray,
+    levels: int | None = None,
+    radius: int = LK_RADIUS,
+    iters: int = LK_ITERS,
+) -> jnp.ndarray:
+    """Track points from img_a to img_b. pts: (N, 2) xy pixels.
+    Returns tracked (N, 2) positions in img_b. levels=None auto-scales
+    pyramid depth to the image size."""
+    if levels is None:
+        levels = auto_levels(img_a.shape[0], img_a.shape[1])
+    return _lk_track_jit(img_a, img_b, pts, levels, radius, iters)
+
+
+@partial(jax.jit, static_argnames=("levels", "radius", "iters"))
+def _lk_track_jit(
+    img_a: jnp.ndarray,
+    img_b: jnp.ndarray,
+    pts: jnp.ndarray,
+    levels: int,
+    radius: int,
+    iters: int,
+) -> jnp.ndarray:
+    img_a = img_a.astype(jnp.float32)
+    img_b = img_b.astype(jnp.float32)
+    pyr_a = build_pyramid(img_a, levels)
+    pyr_b = build_pyramid(img_b, levels)
+    d = jnp.zeros_like(pts)
+    for lvl in range(levels - 1, -1, -1):
+        scale = 2.0**lvl
+        d = _lk_level(pyr_a[lvl], pyr_b[lvl], pts / scale, d / scale, radius, iters) * scale
+    return pts + d
+
+
+# ---------------------------------------------------------------------------
+# fused post-processing: undistort + RS timestamps + ray lifting
+
+
+@partial(jax.jit, static_argnames=("lens",))
+def lift_rays(lens: lens_ops.Lens, pts_a: jnp.ndarray, pts_b: jnp.ndarray):
+    """Undistort both endpoints and lift to unit rays
+    normalize([x, y, 1]) (ref: core_testcode.cpp:147-152). Device side."""
+    ua = lens_ops.undistort_points(lens, pts_a)
+    ub = lens_ops.undistort_points(lens, pts_b)
+    return lens_ops.rays_from_normalized(ua), lens_ops.rays_from_normalized(ub)
+
+
+def rolling_shutter_ts(
+    lens: lens_ops.Lens,
+    pts_a: np.ndarray,
+    pts_b: np.ndarray,
+    ts_frame_a: float,
+    ts_frame_b: float,
+    rows: int,
+):
+    """Per-ray rolling-shutter timestamps from each endpoint's own row —
+    including the *tracked* row for frame B
+    (ref: core_testcode.cpp:144-145). Host f64: frame timestamps are
+    ~minutes-scale and must keep sub-µs resolution."""
+    ts_a = ts_frame_a + lens.ro * (np.asarray(pts_a, np.float64)[:, 1] / rows)
+    ts_b = ts_frame_b + lens.ro * (np.asarray(pts_b, np.float64)[:, 1] / rows)
+    return ts_a, ts_b
+
+
+# ---------------------------------------------------------------------------
+# host video decode
+
+
+@dataclass
+class Frame:
+    index: int
+    timestamp: float  # seconds
+    gray: np.ndarray  # (H, W) uint8
+
+
+class VideoSource:
+    """cv2-backed host decoder (the reference's VideoCapture usage,
+    ref: core_testcode.cpp:99-122)."""
+
+    def __init__(self, path: str):
+        import cv2
+
+        self._cv2 = cv2
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise RuntimeError("video open failed")
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS)
+        self.width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+    def seek(self, frame: int) -> None:
+        self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, frame)
+        if self.cap.get(self._cv2.CAP_PROP_POS_FRAMES) != frame:
+            raise RuntimeError("Seek failed")
+
+    def frames(self, start: int, stop: int) -> Iterator[Frame]:
+        self.seek(start)
+        for idx in range(start, stop):
+            ok, img = self.cap.read()
+            if not ok:
+                raise RuntimeError("frame read failed")
+            ts = self.cap.get(self._cv2.CAP_PROP_POS_MSEC) / 1000.0
+            gray = self._cv2.cvtColor(img, self._cv2.COLOR_BGR2GRAY)
+            yield Frame(index=idx, timestamp=ts, gray=gray)
+
+
+# ---------------------------------------------------------------------------
+# full tracking stage
+
+
+def track_frames(
+    problem,
+    lens: lens_ops.Lens,
+    video_path: str,
+    frame_begin: int,
+    frame_end: int,
+    grid_step: int = 200,
+    method: str = "lk",
+    progress: bool = False,
+) -> None:
+    """Track every consecutive frame pair in [frame_begin, frame_end)
+    and feed `problem.set_track_result` (ref: core_testcode.cpp:97-162).
+
+    method: "lk" (TPU pyramidal LK, default) or "dis" (host cv2 DIS
+    dense flow sampled at the grid — the reference's tracker, kept for
+    cross-validation).
+    """
+    src = VideoSource(video_path)
+    pts = grid_points(src.width, src.height, grid_step)
+    pts_j = jnp.asarray(pts, jnp.float32)
+
+    dis = None
+    if method == "dis":
+        import cv2
+
+        dis = cv2.DISOpticalFlow.create()
+
+    it = src.frames(frame_begin, frame_end + 1)
+    try:
+        cur = next(it)
+    except StopIteration:
+        raise RuntimeError("frame read failed")
+    for nxt in it:
+        if progress:
+            print(f"processing frame {cur.index}", flush=True)
+        if method == "lk":
+            tracked = np.asarray(lk_track(jnp.asarray(cur.gray), jnp.asarray(nxt.gray), pts_j))
+        elif method == "dis":
+            flow = dis.calc(cur.gray, nxt.gray, None)
+            ij = pts.astype(int)
+            f = flow[ij[:, 1], ij[:, 0]]
+            tracked = pts + f
+        else:
+            raise ValueError(f"unknown tracking method {method!r}")
+
+        rays_a, rays_b = lift_rays(
+            lens, jnp.asarray(pts, jnp.float32), jnp.asarray(tracked, jnp.float32)
+        )
+        ts_a, ts_b = rolling_shutter_ts(
+            lens, pts, tracked, cur.timestamp, nxt.timestamp, src.height
+        )
+        problem.set_track_result(
+            cur.index,
+            np.asarray(ts_a, np.float64),
+            np.asarray(ts_b, np.float64),
+            np.asarray(rays_a, np.float64),
+            np.asarray(rays_b, np.float64),
+        )
+        cur = nxt

@@ -1,15 +1,23 @@
 """Test configuration: run everything on CPU with 8 virtual devices so
-sharding tests exercise a real Mesh without TPU hardware. Must set the
-env vars before jax is imported anywhere."""
+sharding tests exercise a real Mesh without TPU hardware.
+
+Note: this environment preloads jax and registers the TPU ('axon')
+backend from a sitecustomize at interpreter start, so env vars set
+here are too late — use jax.config.update, which works post-import.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

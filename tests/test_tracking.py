@@ -1,0 +1,111 @@
+"""Tracking tests: LK vs known shifts, LK vs cv2 DIS on rendered
+frames, and the fused undistort/RS-timestamp/ray stage."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rssync_tpu.frontend import tracking
+from rssync_tpu.ops import lens as lens_ops
+
+
+def _texture_image(rng, h, w):
+    """Natural-ish (1/f-spectrum, non-periodic) random texture:
+    multi-scale sum of smoothed white noise. Periodic textures (e.g.
+    sinusoid sums) make coarse pyramid levels alias onto the wrong
+    lobe, which is a texture pathology, not a tracker property."""
+    from scipy.ndimage import gaussian_filter
+
+    img = np.zeros((h, w))
+    for sigma, amp in [(1.5, 1.0), (4.0, 2.0), (12.0, 4.0), (32.0, 8.0)]:
+        img += amp * gaussian_filter(rng.normal(size=(h, w)), sigma)
+    img -= img.min()
+    img *= 255.0 / img.max()
+    return img
+
+
+def test_lk_recovers_known_translation(rng):
+    img = _texture_image(rng, 240, 320)
+    shift = np.array([6.3, -3.7])
+    # features move by +shift: img_b[p] = img_a[p - shift]
+    from scipy.ndimage import shift as nd_shift
+
+    img_b = nd_shift(img, (shift[1], shift[0]), order=1, mode="nearest")
+    pts = tracking.grid_points(320, 240, 60)
+    tracked = np.asarray(
+        tracking.lk_track(jnp.asarray(img), jnp.asarray(img_b), jnp.asarray(pts, jnp.float32))
+    )
+    flow = tracked - pts
+    # interior points (window fully inside)
+    inner = (
+        (pts[:, 0] > 40) & (pts[:, 0] < 280) & (pts[:, 1] > 40) & (pts[:, 1] < 200)
+    )
+    err = np.linalg.norm(flow[inner] - shift, axis=1)
+    assert np.median(err) < 0.1
+    assert err.max() < 0.5
+
+
+def test_lk_large_motion_via_pyramid(rng):
+    img = _texture_image(rng, 480, 640)
+    shift = np.array([55.0, 38.0])
+    from scipy.ndimage import shift as nd_shift
+
+    img_b = nd_shift(img, (shift[1], shift[0]), order=1, mode="nearest")
+    pts = np.asarray([[320.0, 240.0], [200.0, 200.0], [400.0, 300.0]])
+    tracked = np.asarray(
+        tracking.lk_track(jnp.asarray(img), jnp.asarray(img_b), jnp.asarray(pts, jnp.float32))
+    )
+    err = np.linalg.norm(tracked - pts - shift, axis=1)
+    assert err.max() < 0.5
+
+
+def test_lk_matches_cv2_dis_on_rotation(rng):
+    """Rotate a texture slightly; LK and DIS should agree on the grid."""
+    import cv2
+
+    img = _texture_image(rng, 360, 480).astype(np.uint8)
+    M = cv2.getRotationMatrix2D((240, 180), 1.2, 1.0)  # 1.2 degrees
+    img_b = cv2.warpAffine(img, M, (480, 360))
+    pts = tracking.grid_points(480, 360, 80)
+    tracked = np.asarray(
+        tracking.lk_track(
+            jnp.asarray(img.astype(np.float32)),
+            jnp.asarray(img_b.astype(np.float32)),
+            jnp.asarray(pts, jnp.float32),
+        )
+    )
+    dis = cv2.DISOpticalFlow.create()
+    flow = dis.calc(img, img_b, None)
+    ij = pts.astype(int)
+    dis_tracked = pts + flow[ij[:, 1], ij[:, 0]]
+    inner = (
+        (pts[:, 0] > 80) & (pts[:, 0] < 400) & (pts[:, 1] > 80) & (pts[:, 1] < 280)
+    )
+    err = np.linalg.norm(tracked[inner] - dis_tracked[inner], axis=1)
+    assert np.median(err) < 0.3
+
+
+def test_grid_points_matches_reference_order():
+    pts = tracking.grid_points(640, 480, 200)
+    # x-major from (200,200): (200,200),(200,400),(400,200),(400,400),(600,...)
+    expect = [[200, 200], [200, 400], [400, 200], [400, 400], [600, 200], [600, 400]]
+    np.testing.assert_array_equal(pts, expect)
+
+
+def test_rolling_shutter_ts_uses_tracked_row():
+    lens = lens_ops.Lens(ro=0.01, fx=500, fy=500, cx=320, cy=240)
+    pts_a = np.array([[100.0, 0.0], [100.0, 480.0]])
+    pts_b = np.array([[100.0, 240.0], [100.0, 0.0]])
+    ts_a, ts_b = tracking.rolling_shutter_ts(lens, pts_a, pts_b, 1.0, 1.1, 480)
+    np.testing.assert_allclose(ts_a, [1.0, 1.01])
+    np.testing.assert_allclose(ts_b, [1.1 + 0.005, 1.1])
+
+
+def test_lift_rays_unit_and_match_lens(rng):
+    lens = lens_ops.Lens(ro=0.01, fx=500, fy=500, cx=320, cy=240, k1=0.02)
+    pts = jnp.asarray(rng.uniform(50, 400, size=(20, 2)), jnp.float32)
+    ra, rb = tracking.lift_rays(lens, pts, pts + 1.5)
+    ra = np.asarray(ra)
+    np.testing.assert_allclose(np.linalg.norm(ra, axis=1), 1.0, atol=1e-6)
+    und = np.asarray(lens_ops.undistort_points(lens, pts))
+    np.testing.assert_allclose(ra[:, 0] / ra[:, 2], und[:, 0], atol=1e-5)
