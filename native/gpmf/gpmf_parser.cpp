@@ -1,0 +1,406 @@
+// Native GoPro GPMF telemetry parser with the reference's C ABI.
+//
+// Rebuild of the reference's Rust `telemetry-parser-cpp` cdylib
+// (ref: rust/telemetry-parser-cpp/src/lib.rs:17-61, ABI
+// inc/telemetry-parser.h:7-18): tp_load_gyro(path, orient) extracts the
+// gyro stream from a GoPro MP4's `gpmd` metadata track and returns
+// malloc'd arrays — timestamps in seconds, angular rates in rad/s —
+// freed by tp_free. Orientation string: 3 chars of {x,X,y,Y,z,Z};
+// output axis i takes the named source component, lowercase = negated
+// (matches rssync_tpu.frontend.telemetry.apply_orientation).
+//
+// Scope: ISO-BMFF box walk (moov/trak/mdia/minf/stbl: stsd 'gpmd',
+// stts, stsc, stsz, stco/co64, mdhd), recursive GPMF KLV parse
+// (DEVC -> STRM -> GYRO/SCAL/ORIN/ORIO), SCAL scaling, ORIN/ORIO
+// normalization, stts-spread per-sample timestamps. Matches the Python
+// implementation in rssync_tpu/frontend/telemetry.py bit-for-bit on
+// the supported paths (cross-checked in tests/test_native_gpmf.py).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+struct tp_gyrodata {
+  size_t samples;
+  double* timestamps;
+  double* gyro;
+};
+
+tp_gyrodata tp_load_gyro(const char* path, const char* orient);
+void tp_free(tp_gyrodata d);
+}
+
+namespace {
+
+struct Span {
+  const uint8_t* p;
+  size_t len;
+};
+
+uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+uint64_t be64(const uint8_t* p) {
+  return (uint64_t(be32(p)) << 32) | be32(p + 4);
+}
+uint16_t be16(const uint8_t* p) { return uint16_t((p[0] << 8) | p[1]); }
+
+struct Box {
+  char type[5];
+  size_t payload_off;
+  size_t payload_end;
+};
+
+// Iterate ISO-BMFF boxes in [off, end); returns false when exhausted.
+bool next_box(const uint8_t* buf, size_t end, size_t* off, Box* out) {
+  if (*off + 8 > end) return false;
+  uint64_t size = be32(buf + *off);
+  std::memcpy(out->type, buf + *off + 4, 4);
+  out->type[4] = 0;
+  size_t hdr = 8;
+  if (size == 1) {
+    if (*off + 16 > end) return false;
+    size = be64(buf + *off + 8);
+    hdr = 16;
+  } else if (size == 0) {
+    size = end - *off;
+  }
+  if (size < hdr || *off + size > end) return false;
+  out->payload_off = *off + hdr;
+  out->payload_end = *off + size;
+  *off += size;
+  return true;
+}
+
+// Find first descendant box following a path of fourccs.
+bool find_box(const uint8_t* buf, size_t start, size_t end,
+              const std::vector<const char*>& path, size_t depth, Span* out) {
+  size_t off = start;
+  Box b;
+  while (next_box(buf, end, &off, &b)) {
+    if (std::memcmp(b.type, path[depth], 4) == 0) {
+      if (depth + 1 == path.size()) {
+        out->p = buf + b.payload_off;
+        out->len = b.payload_end - b.payload_off;
+        return true;
+      }
+      if (find_box(buf, b.payload_off, b.payload_end, path, depth + 1, out))
+        return true;
+    }
+  }
+  return false;
+}
+
+struct Stream {
+  std::vector<double> scal;
+  std::string orin, orio;
+  std::vector<double> gyro;  // flattened triples
+  size_t n = 0;
+};
+
+double read_scalar(const uint8_t* p, uint8_t type) {
+  switch (type) {
+    case 'b': return double(int8_t(p[0]));
+    case 'B': return double(p[0]);
+    case 's': return double(int16_t(be16(p)));
+    case 'S': return double(be16(p));
+    case 'l': return double(int32_t(be32(p)));
+    case 'L': return double(be32(p));
+    case 'f': { uint32_t u = be32(p); float f; std::memcpy(&f, &u, 4); return f; }
+    case 'd': { uint64_t u = be64(p); double f; std::memcpy(&f, &u, 8); return f; }
+    case 'j': return double(int64_t(be64(p)));
+    case 'J': return double(be64(p));
+    default: return 0.0;
+  }
+}
+
+size_t scalar_width(uint8_t type) {
+  switch (type) {
+    case 'b': case 'B': return 1;
+    case 's': case 'S': return 2;
+    case 'l': case 'L': case 'f': return 4;
+    case 'd': case 'j': case 'J': return 8;
+    default: return 0;
+  }
+}
+
+// Recursive KLV walk; collects GYRO streams found under this payload.
+void parse_klv(const uint8_t* buf, size_t start, size_t end,
+               std::vector<Stream>* streams, Stream* cur) {
+  size_t off = start;
+  while (off + 8 <= end) {
+    const uint8_t* k = buf + off;
+    uint8_t type = k[4];
+    uint8_t ssize = k[5];
+    uint16_t repeat = be16(k + 6);
+    size_t dlen = size_t(ssize) * repeat;
+    size_t dstart = off + 8;
+    if (dstart + dlen > end) break;
+    if (type == 0) {  // nested
+      if (std::memcmp(k, "STRM", 4) == 0) {
+        Stream s;
+        parse_klv(buf, dstart, dstart + dlen, streams, &s);
+        if (s.n > 0) streams->push_back(std::move(s));
+      } else {
+        parse_klv(buf, dstart, dstart + dlen, streams, cur);
+      }
+    } else if (cur != nullptr) {
+      if (std::memcmp(k, "GYRO", 4) == 0) {
+        size_t w = scalar_width(type);
+        if (w > 0 && ssize == 3 * w) {
+          cur->n = repeat;
+          cur->gyro.resize(size_t(repeat) * 3);
+          for (size_t r = 0; r < repeat; ++r)
+            for (size_t c = 0; c < 3; ++c)
+              cur->gyro[r * 3 + c] =
+                  read_scalar(buf + dstart + r * ssize + c * w, type);
+        }
+      } else if (std::memcmp(k, "SCAL", 4) == 0) {
+        size_t w = scalar_width(type);
+        if (w > 0) {
+          size_t per = ssize / w;
+          cur->scal.clear();
+          for (size_t r = 0; r < repeat; ++r)
+            for (size_t c = 0; c < per; ++c)
+              cur->scal.push_back(
+                  read_scalar(buf + dstart + r * ssize + c * w, type));
+        }
+      } else if (std::memcmp(k, "ORIN", 4) == 0 && type == 'c') {
+        cur->orin.assign(reinterpret_cast<const char*>(buf + dstart),
+                         size_t(ssize) * repeat);
+      } else if (std::memcmp(k, "ORIO", 4) == 0 && type == 'c') {
+        cur->orio.assign(reinterpret_cast<const char*>(buf + dstart),
+                         size_t(ssize) * repeat);
+      }
+    }
+    off = dstart + ((dlen + 3) & ~size_t(3));
+  }
+}
+
+// ORIN/ORIO normalization (GoPro orientation remap): output axis j
+// (letter ORIO[j], default "XYZ") takes the ORIN position with the
+// matching letter; negate when cases differ.
+void orin_remap(std::vector<double>& g, size_t n, const std::string& orin,
+                const std::string& orio_in) {
+  if (orin.size() != 3) return;
+  std::string orio = orio_in.size() == 3 ? orio_in : "XYZ";
+  int src[3];
+  double sign[3];
+  for (int j = 0; j < 3; ++j) {
+    src[j] = -1;
+    for (int i = 0; i < 3; ++i) {
+      if (std::tolower(orin[i]) == std::tolower(orio[j])) {
+        src[j] = i;
+        sign[j] = (std::isupper(orin[i]) == std::isupper(orio[j])) ? 1.0 : -1.0;
+        break;
+      }
+    }
+    if (src[j] < 0) return;  // malformed: leave as-is
+  }
+  for (size_t r = 0; r < n; ++r) {
+    double in[3] = {g[r * 3], g[r * 3 + 1], g[r * 3 + 2]};
+    for (int j = 0; j < 3; ++j) g[r * 3 + j] = sign[j] * in[src[j]];
+  }
+}
+
+bool user_orient(std::vector<double>& g, size_t n, const char* orient) {
+  if (orient == nullptr || orient[0] == 0) return true;
+  if (std::strlen(orient) != 3) return false;
+  int src[3];
+  double sign[3];
+  for (int j = 0; j < 3; ++j) {
+    char c = std::tolower(orient[j]);
+    if (c < 'x' || c > 'z') return false;
+    src[j] = c - 'x';
+    sign[j] = std::isupper(orient[j]) ? 1.0 : -1.0;
+  }
+  for (size_t r = 0; r < n; ++r) {
+    double in[3] = {g[r * 3], g[r * 3 + 1], g[r * 3 + 2]};
+    for (int j = 0; j < 3; ++j) g[r * 3 + j] = sign[j] * in[src[j]];
+  }
+  return true;
+}
+
+tp_gyrodata empty() { return tp_gyrodata{0, nullptr, nullptr}; }
+
+}  // namespace
+
+extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return empty();
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 16) {
+    ::close(fd);
+    return empty();
+  }
+  size_t len = size_t(st.st_size);
+  void* map = mmap(nullptr, len, PROT_READ, MAP_PRIVATE, fd, 0);
+  ::close(fd);
+  if (map == MAP_FAILED) return empty();
+  const uint8_t* buf = static_cast<const uint8_t*>(map);
+
+  tp_gyrodata result = empty();
+  do {
+    // locate the gpmd trak: any trak whose stsd mentions 'gpmd'
+    size_t off = 0;
+    Box moov{};
+    bool have_moov = false;
+    {
+      Box b;
+      while (next_box(buf, len, &off, &b)) {
+        if (std::memcmp(b.type, "moov", 4) == 0) {
+          moov = b;
+          have_moov = true;
+          break;
+        }
+      }
+    }
+    if (!have_moov) break;
+
+    Span stbl{}, mdhd{};
+    bool found = false;
+    size_t toff = moov.payload_off;
+    Box trak;
+    while (next_box(buf, moov.payload_end, &toff, &trak)) {
+      if (std::memcmp(trak.type, "trak", 4) != 0) continue;
+      Span stsd;
+      if (!find_box(buf, trak.payload_off, trak.payload_end,
+                    {"mdia", "minf", "stbl", "stsd"}, 0, &stsd))
+        continue;
+      bool is_gpmd = false;
+      for (size_t i = 0; i + 4 <= stsd.len; ++i)
+        if (std::memcmp(stsd.p + i, "gpmd", 4) == 0) {
+          is_gpmd = true;
+          break;
+        }
+      if (!is_gpmd) continue;
+      if (!find_box(buf, trak.payload_off, trak.payload_end,
+                    {"mdia", "minf", "stbl"}, 0, &stbl))
+        continue;
+      if (!find_box(buf, trak.payload_off, trak.payload_end,
+                    {"mdia", "mdhd"}, 0, &mdhd))
+        continue;
+      found = true;
+      break;
+    }
+    if (!found) break;
+
+    uint8_t version = mdhd.p[0];
+    uint32_t timescale = be32(mdhd.p + (version == 1 ? 20 : 12));
+    if (timescale == 0) break;
+
+    const size_t stbl_off = size_t(stbl.p - buf);
+    auto sub = [&](const char* name, Span* out) {
+      return find_box(buf, stbl_off, stbl_off + stbl.len, {name}, 0, out);
+    };
+    Span stsz, stco, stsc, stts;
+    bool co64 = false;
+    if (!sub("stsz", &stsz) || !sub("stsc", &stsc) || !sub("stts", &stts))
+      break;
+    if (!sub("stco", &stco)) {
+      if (!sub("co64", &stco)) break;
+      co64 = true;
+    }
+
+    uint32_t sample_size = be32(stsz.p + 4);
+    uint32_t sample_count = be32(stsz.p + 8);
+    if (sample_count == 0) break;
+    std::vector<uint64_t> sizes(sample_count);
+    for (uint32_t i = 0; i < sample_count; ++i)
+      sizes[i] = sample_size ? sample_size : be32(stsz.p + 12 + 4 * i);
+
+    uint32_t nco = be32(stco.p + 4);
+    std::vector<uint64_t> chunk_off(nco);
+    for (uint32_t i = 0; i < nco; ++i)
+      chunk_off[i] = co64 ? be64(stco.p + 8 + 8 * i) : be32(stco.p + 8 + 4 * i);
+
+    // expand stsc to per-sample offsets
+    uint32_t nsc = be32(stsc.p + 4);
+    std::vector<uint64_t> sample_off(sample_count);
+    {
+      uint32_t si = 0;
+      for (uint32_t ri = 0; ri < nsc && si < sample_count; ++ri) {
+        uint32_t first = be32(stsc.p + 8 + 12 * ri);
+        uint32_t spc = be32(stsc.p + 8 + 12 * ri + 4);
+        uint32_t last = (ri + 1 < nsc) ? be32(stsc.p + 8 + 12 * (ri + 1)) - 1
+                                       : nco;
+        for (uint32_t ch = first; ch <= last && si < sample_count; ++ch) {
+          if (ch == 0 || ch > nco) break;
+          uint64_t base = chunk_off[ch - 1];
+          for (uint32_t s = 0; s < spc && si < sample_count; ++s) {
+            sample_off[si] = base;
+            base += sizes[si];
+            ++si;
+          }
+        }
+      }
+    }
+
+    // per-sample durations (seconds) from stts
+    uint32_t nst = be32(stts.p + 4);
+    std::vector<double> durs;
+    durs.reserve(sample_count);
+    for (uint32_t i = 0; i < nst && durs.size() < sample_count; ++i) {
+      uint32_t cnt = be32(stts.p + 8 + 8 * i);
+      uint32_t delta = be32(stts.p + 8 + 8 * i + 4);
+      for (uint32_t c = 0; c < cnt && durs.size() < sample_count; ++c)
+        durs.push_back(double(delta) / timescale);
+    }
+    while (durs.size() < sample_count) durs.push_back(0.0);
+
+    std::vector<double> all_ts, all_gyro;
+    double start = 0.0;
+    for (uint32_t k = 0; k < sample_count; ++k) {
+      if (sample_off[k] + sizes[k] > len) { start += durs[k]; continue; }
+      std::vector<Stream> streams;
+      parse_klv(buf, sample_off[k], sample_off[k] + sizes[k], &streams,
+                nullptr);
+      for (auto& s : streams) {
+        if (s.n == 0) continue;
+        // SCAL divide (scalar or per-axis)
+        if (!s.scal.empty()) {
+          for (size_t r = 0; r < s.n; ++r)
+            for (size_t c = 0; c < 3; ++c)
+              s.gyro[r * 3 + c] /=
+                  (s.scal.size() == 3 ? s.scal[c] : s.scal[0]);
+        }
+        orin_remap(s.gyro, s.n, s.orin, s.orio);
+        for (size_t r = 0; r < s.n; ++r) {
+          all_ts.push_back(start + durs[k] * double(r) / double(s.n));
+          for (size_t c = 0; c < 3; ++c) all_gyro.push_back(s.gyro[r * 3 + c]);
+        }
+      }
+      start += durs[k];
+    }
+    if (all_ts.empty()) break;
+
+    size_t n = all_ts.size();
+    std::vector<double> g = all_gyro;
+    if (!user_orient(g, n, orient)) break;
+
+    result.samples = n;
+    result.timestamps = static_cast<double*>(malloc(n * sizeof(double)));
+    result.gyro = static_cast<double*>(malloc(n * 3 * sizeof(double)));
+    std::memcpy(result.timestamps, all_ts.data(), n * sizeof(double));
+    std::memcpy(result.gyro, g.data(), n * 3 * sizeof(double));
+  } while (false);
+
+  munmap(map, len);
+  return result;
+}
+
+extern "C" void tp_free(tp_gyrodata d) {
+  if (d.timestamps) free(d.timestamps);
+  if (d.gyro) free(d.gyro);
+}

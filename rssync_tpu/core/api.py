@@ -202,6 +202,21 @@ class SyncProblem:
         self._window_cache[key] = win
         return win
 
+    # -- batch access (used by pipeline/parallel layers) --------------------
+    @property
+    def spline_table(self) -> SplineTable:
+        return self._require_gyro()
+
+    def build_window(self, frame_begin: int, frame_end: int, closed: bool = False) -> TrackWindow:
+        """Public window assembly for batched pipelines: frames in
+        [begin, end) (closed=False, PreSync convention) or [begin, end]
+        (closed=True, Sync convention)."""
+        return self._window(frame_begin, frame_end, closed)
+
+    def next_key(self) -> jax.Array:
+        """Draw the next engine PRNG key (deterministic sequence)."""
+        return self._next_key()
+
     # -- engine calls -------------------------------------------------------
     def pre_sync(
         self,

@@ -4,23 +4,25 @@ TPU-native rebuild of `pre_sync` / `DebugPreSync`
 (ref: src/core/core_private.cpp:61-90, 336-361). The reference runs a
 sequential delay loop with a TBB parallel frame loop inside; here the
 whole (delay-grid x frames x features x hypotheses) volume is a single
-XLA computation: `vmap` over the delay axis of a per-window cost that
-itself batches frames and RANSAC hypotheses.
+XLA computation: the delay grid is processed in vmapped chunks via
+`lax.map` so HBM peak stays bounded (chunk x windows x frames x
+features intermediates) while each chunk still saturates the chip.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from rssync_tpu.core.problem import SplineTable, TrackWindow, compute_problem
 from rssync_tpu.core.ransac import guess_motion
-from rssync_tpu.ops.robust import clamp_k, safe_norm
+from rssync_tpu.ops.robust import clamp_k
 
 #: RANSAC hypothesis count inside the coarse cost (ref :77).
 PRESYNC_RANSAC_ITERS = 20
+
+#: delay-grid points evaluated concurrently per lax.map step.
+DELAY_CHUNK = 16
 
 
 def cost_with_motion(P: jnp.ndarray, M: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
@@ -30,13 +32,16 @@ def cost_with_motion(P: jnp.ndarray, M: jnp.ndarray, frame_mask: jnp.ndarray) ->
         k = clamp(1e2 / |P M|, 10, 1000)
         r = (P M) * k / |M|
         frame cost = sqrt( sum_i sqrt(log1p(r_i^2)) )
-    window cost = sum over frames.
+    window cost = sum over frames. P is SoA (3, F, N), padded entries 0.
     """
-    PM = jnp.einsum("fnc,fc->fn", P, M)  # padded rows are zero
-    k = clamp_k(1e2 / safe_norm(PM, axis=1))  # (F,)
-    r = PM * (k / safe_norm(M, axis=1))[:, None]
+    PM = jnp.einsum("cfn,fc->fn", P, M)
+    k = clamp_k(1e2 / jnp.maximum(
+        jnp.sqrt(jnp.sum(PM * PM, axis=-1)), 1e-30
+    ))  # (F,)
+    Mn = jnp.maximum(jnp.sqrt(jnp.sum(M * M, axis=-1)), 1e-30)
+    r = PM * (k / Mn)[:, None]
     rho = jnp.log1p(r * r)
-    frame_cost = jnp.sqrt(jnp.sum(jnp.sqrt(rho), axis=1))
+    frame_cost = jnp.sqrt(jnp.sum(jnp.sqrt(rho), axis=-1))
     return jnp.sum(frame_cost * frame_mask)
 
 
@@ -47,27 +52,40 @@ def window_cost(
     (ref core_private.cpp:73-86): per-frame 20-hypothesis RANSAC
     motion, then the robust cost above."""
     F = win.num_frames
-    P = compute_problem(table, win, delay)  # (F, N, 3)
+    P = compute_problem(table, win, delay)  # (3, F, N)
     keys = jax.random.split(key, F)
-    M = jax.vmap(lambda p, c, k: guess_motion(p, c, k, PRESYNC_RANSAC_ITERS))(
-        P, win.counts, keys
-    )  # (F, 3)
+    M = jax.vmap(
+        lambda p, c, k: guess_motion(p, c, k, PRESYNC_RANSAC_ITERS),
+        in_axes=(1, 0, 0),
+    )(P, win.counts, keys)  # (F, 3)
     return cost_with_motion(P, M, win.frame_mask)
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def presync_scan(
     table: SplineTable,
     win: TrackWindow,
     delays: jnp.ndarray,
     key: jax.Array,
 ) -> jnp.ndarray:
-    """Costs for every delay in `delays` — one launch for the whole
-    grid (ref's sequential loop at core_private.cpp:69-87). Fresh
-    RANSAC draws per (delay, frame), like the reference's per-task
-    thread-local RNG, but keyed."""
-    keys = jax.random.split(key, delays.shape[0])
-    return jax.vmap(lambda d, k: window_cost(table, win, d, k))(delays, keys)
+    """Costs for every delay in `delays` — the whole grid in chunked
+    vmapped launches (ref's sequential loop at core_private.cpp:69-87).
+    Fresh RANSAC draws per (delay, frame), like the reference's
+    per-task thread-local RNG, but keyed. Handles any grid length by
+    padding to a multiple of DELAY_CHUNK."""
+    D = delays.shape[0]
+    pad = (-D) % DELAY_CHUNK
+    delays_p = jnp.pad(delays, (0, pad))
+    keys = jax.random.split(key, delays_p.shape[0])
+    chunks = delays_p.reshape(-1, DELAY_CHUNK)
+    kchunks = keys.reshape(-1, DELAY_CHUNK, 2)
+
+    def one_chunk(args):
+        ds, ks = args
+        return jax.vmap(lambda d, k: window_cost(table, win, d, k))(ds, ks)
+
+    costs = jax.lax.map(one_chunk, (chunks, kchunks)).reshape(-1)
+    return costs[:D]
 
 
 def presync_best(costs: jnp.ndarray, delays: jnp.ndarray):

@@ -8,12 +8,22 @@ loops over features; here a sync window is one padded, fixed-shape
 pytree of arrays (frames x features) so the whole window — and a whole
 batch of windows — is a single XLA computation.
 
-Timestamp precision: instead of the reference's
-`at = (ts - quats_start + delay) * sample_rate` in f64
-(core_private.cpp:18-19), spline positions are pre-split on the host
-into an int32 base index `i0` (exact) plus an f32 fraction `f0`; the
-device evaluates at `i0 + (f0 + delay * sample_rate)` so only small
-numbers ever live in f32 (see ops/spline.py docstring).
+Two load-bearing layout decisions:
+
+1. **Timestamp precision**: instead of the reference's
+   `at = (ts - quats_start + delay) * sample_rate` in f64
+   (core_private.cpp:18-19), spline positions are pre-split on the
+   host into an int32 base index `i0` (exact) plus an f32 fraction
+   `f0`; the device evaluates at `i0 + (f0 + delay * sample_rate)` so
+   only small numbers ever live in f32 (see ops/spline.py).
+
+2. **Structure-of-arrays**: rays, quaternions and residual rows keep
+   their small structure axis (3 or 4) LEADING and the big
+   (frames, features) axes trailing, because the TPU memory layout
+   tiles the last two dims to (8, 128) — a trailing size-3/4 axis
+   pads 32-42x and at batched-PreSync scale that turns ~200 MB of
+   intermediates into ~100 GB. All hot-path tensors here are 2-D+
+   with batch dims minor.
 """
 
 from __future__ import annotations
@@ -25,8 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rssync_tpu.ops import quat
-from rssync_tpu.ops.spline import eval_spline, fit_natural_cubic
+from rssync_tpu.ops.spline import eval_spline_packed, fit_natural_cubic, pack_table
 
 
 @jax.tree_util.register_dataclass
@@ -34,8 +43,9 @@ from rssync_tpu.ops.spline import eval_spline, fit_natural_cubic
 class SplineTable:
     """Fitted gyro-orientation spline, device side.
 
-    coeffs: (n_knots, 4, 4) — natural-cubic coefficients (y, b, c, d)
-            for the 4 quaternion rows (w, x, y, z).
+    coeffs: (16, n_knots) packed per ops/spline.py::pack_table — rows
+    4c + r = coefficient c (y, b, c, d) of quaternion row r (w,x,y,z),
+    knots along the last axis (gather-friendly).
     sample_rate: () f32 — knots per second.
     """
 
@@ -48,7 +58,7 @@ class SplineTable:
 class TrackWindow:
     """One sync window: padded (F frames x N features) track tensors.
 
-    rays_a/rays_b: (F, N, 3) unit observation rays in the two frames.
+    rays_a/rays_b: (3, F, N) unit observation rays (xyz leading).
     i0_a/i0_b:     (F, N) int32 spline base index at delay = 0.
     f0_a/f0_b:     (F, N) f32 fractional spline position at delay = 0.
     feat_mask:     (F, N) f32 1.0 for valid features else 0.0.
@@ -68,25 +78,24 @@ class TrackWindow:
 
     @property
     def num_frames(self) -> int:
-        return self.rays_a.shape[0]
+        return self.i0_a.shape[-2]
 
     @property
     def num_features(self) -> int:
-        return self.rays_a.shape[1]
+        return self.i0_a.shape[-1]
 
 
 def make_spline_table(
     quats: np.ndarray, sample_rate: float, dtype=jnp.float32
 ) -> SplineTable:
-    """Fit the orientation spline on host (f64) and ship f32 coefficients.
-
-    quats: (n, 4) quaternion samples on a uniform grid at `sample_rate`.
+    """Fit the orientation spline on host (f64) and ship packed f32
+    coefficients. quats: (n, 4) wxyz samples on a uniform grid.
     Equivalent of ndspline::make over the 4 rows (ref: ndspline.cpp:13-19).
     """
     quats = np.asarray(quats, dtype=np.float64)
     coeffs = fit_natural_cubic(quats.T)  # (n, 4, 4)
     return SplineTable(
-        coeffs=jnp.asarray(coeffs, dtype=dtype),
+        coeffs=jnp.asarray(pack_table(coeffs), dtype=dtype),
         sample_rate=jnp.asarray(sample_rate, dtype=dtype),
     )
 
@@ -105,16 +114,17 @@ def build_track_window(
     """Assemble padded window tensors from per-frame ragged track data.
 
     Host-side (numpy, f64 for the timestamp split). The i-th entries of
-    the four sequences describe one frame's correspondences, timestamps
-    in seconds (already rolling-shutter corrected per ray).
+    the four sequences describe one frame's correspondences: timestamps
+    in seconds (already rolling-shutter corrected per ray), rays as
+    (n, 3) unit vectors.
     """
     F = len(frames_ts_a)
     Fp = max_frames or F
     N = max((len(t) for t in frames_ts_a), default=1)
     Np = max_features or max(N, 1)
 
-    rays_a = np.zeros((Fp, Np, 3), dtype=np.float64)
-    rays_b = np.zeros((Fp, Np, 3), dtype=np.float64)
+    rays_a = np.zeros((3, Fp, Np), dtype=np.float64)
+    rays_b = np.zeros((3, Fp, Np), dtype=np.float64)
     i0_a = np.zeros((Fp, Np), dtype=np.int32)
     i0_b = np.zeros((Fp, Np), dtype=np.int32)
     f0_a = np.zeros((Fp, Np), dtype=np.float64)
@@ -135,8 +145,8 @@ def build_track_window(
         i0_b[f, :n] = ib
         f0_a[f, :n] = pos_a - ia
         f0_b[f, :n] = pos_b - ib
-        rays_a[f, :n] = np.asarray(frames_rays_a[f], np.float64)
-        rays_b[f, :n] = np.asarray(frames_rays_b[f], np.float64)
+        rays_a[:, f, :n] = np.asarray(frames_rays_a[f], np.float64).T
+        rays_b[:, f, :n] = np.asarray(frames_rays_b[f], np.float64).T
         feat_mask[f, :n] = 1.0
         frame_mask[f] = 1.0
         counts[f] = n
@@ -154,24 +164,73 @@ def build_track_window(
     )
 
 
+def _conj_rotate_soa(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """rotate_point(conj(q), v) in SoA: q (4, ...) wxyz (unit),
+    v (3, ...) -> (3, ...).
+
+    conj(q) = (w, -u); rotation of v by (w, -u):
+      v' = v (w^2 - |u|^2) + 2 (-u) ((-u).v) + 2 w ((-u) x v)
+         = v (w^2 - |u|^2) + 2 u (u.v) - 2 w (u x v)
+    """
+    w = q[0]
+    ux, uy, uz = q[1], q[2], q[3]
+    vx, vy, vz = v[0], v[1], v[2]
+    uv = ux * vx + uy * vy + uz * vz
+    s = w * w - (ux * ux + uy * uy + uz * uz)
+    cx = uy * vz - uz * vy
+    cy = uz * vx - ux * vz
+    cz = ux * vy - uy * vx
+    return jnp.stack(
+        [
+            vx * s + 2.0 * ux * uv - 2.0 * w * cx,
+            vy * s + 2.0 * uy * uv - 2.0 * w * cy,
+            vz * s + 2.0 * uz * uv - 2.0 * w * cz,
+        ]
+    )
+
+
+def cross_soa(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Cross product over leading xyz axis: (3, ...) x (3, ...) -> (3, ...)."""
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
+def dot_soa(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Dot over the leading structure axis: (C, ...) . (C, ...) -> (...)."""
+    return jnp.sum(a * b, axis=0)
+
+
 def compute_problem(
     table: SplineTable, win: TrackWindow, gyro_delay
 ) -> jnp.ndarray:
     """Epipolar residual rows for every (frame, feature) at one delay.
 
-    Returns P: (F, N, 3) where row (f, i) = cross(ar, br) with
-    ar = conj(q(t_a_i + delay)) rotating ray_a_i and likewise br —
-    the pure-translation epipolar constraint rows satisfying
-    P . M ~= 0 at the correct delay
-    (ref: src/core/core_private.cpp:15-32). Padded rows are zeroed.
+    Returns P: (3, F, N) where column (f, i) = cross(ar, br) with
+    ar = conj(q(t_a_i + delay)) rotating ray_a_i and likewise br — the
+    pure-translation epipolar constraint rows satisfying P^T M ~= 0 at
+    the correct delay (ref: src/core/core_private.cpp:15-32). Padded
+    entries are zeroed.
 
-    Fully batched: 2*F*N spline evals (gather+Horner), quaternion
-    normalize/conj/rotate on the VPU, one cross product. vmap-able over
-    a leading delay axis and a leading window axis.
+    Fully batched: 2 F N spline gathers (knot-axis, layout-friendly),
+    quaternion normalize/rotate on the VPU as scalar-component math,
+    one cross product. vmap-able over leading delay/window axes.
     """
     shift = gyro_delay * table.sample_rate
-    q_a = quat.normalize(eval_spline(table.coeffs, win.i0_a, win.f0_a + shift))
-    q_b = quat.normalize(eval_spline(table.coeffs, win.i0_b, win.f0_b + shift))
-    ar = quat.rotate_point(quat.conj(q_a), win.rays_a)
-    br = quat.rotate_point(quat.conj(q_b), win.rays_b)
-    return jnp.cross(ar, br) * win.feat_mask[..., None]
+    q_a = eval_spline_packed(table.coeffs, win.i0_a, win.f0_a + shift)  # (4,F,N)
+    q_b = eval_spline_packed(table.coeffs, win.i0_b, win.f0_b + shift)
+    q_a = q_a * jax.lax.rsqrt(jnp.maximum(dot_soa(q_a, q_a), 1e-30))
+    q_b = q_b * jax.lax.rsqrt(jnp.maximum(dot_soa(q_b, q_b), 1e-30))
+    ar = _conj_rotate_soa(q_a, win.rays_a)
+    br = _conj_rotate_soa(q_b, win.rays_b)
+    return cross_soa(ar, br) * win.feat_mask[None]
+
+
+def problem_rows_aos(P: jnp.ndarray) -> jnp.ndarray:
+    """(3, F, N) -> (F, N, 3) for tests/debug interop with the
+    reference's row-major view. Not for hot paths (layout padding)."""
+    return jnp.moveaxis(P, 0, -1)

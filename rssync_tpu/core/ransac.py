@@ -17,6 +17,8 @@ Differences by design:
   Exactly uniform over distinct ordered pairs, fixed shape.
 * all `iters` hypotheses are evaluated in one batched computation
   (sort over the feature axis) instead of a sequential loop.
+* P is SoA: (3, N) with features along the minor (lane) axis — see
+  core/problem.py layout note.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rssync_tpu.ops.robust import safe_normalize
+from rssync_tpu.core.problem import cross_soa
 
 
 def sample_pairs(key: jax.Array, iters: int, count) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -47,29 +49,38 @@ def guess_motion_from_pairs(
 ) -> jnp.ndarray:
     """Pick the best translation-direction hypothesis given sampled pairs.
 
-    P: (N, 3) residual rows (padded rows zero). count: () int32.
+    P: (3, N) residual rows SoA (padded columns zero). count: () int32.
     r0/r1: (iters,) row indices. Returns (3,) unit direction.
     """
-    N = P.shape[0]
-    nP = safe_normalize(P)  # row-normalized copy (ref :36-37)
+    N = P.shape[-1]
+    # row-normalized copy for scoring (ref :36-37, safe_normalize:
+    # rows with norm < 1e-12 stay unnormalized)
+    Pn2 = jnp.sum(P * P, axis=0)  # (N,)
+    inv = jnp.where(Pn2 < 1e-24, 1.0, jax.lax.rsqrt(jnp.maximum(Pn2, 1e-30)))
+    nP = P * inv[None]
+
     # hypotheses from RAW rows (ref :42-43)
-    v = safe_normalize(jnp.cross(P[r0], P[r1]))  # (iters, 3)
-    res = nP @ v.T  # (N, iters)
+    v = cross_soa(P[:, r0], P[:, r1])  # (3, iters)
+    vn2 = jnp.sum(v * v, axis=0)
+    vinv = jnp.where(vn2 < 1e-24, 1.0, jax.lax.rsqrt(jnp.maximum(vn2, 1e-30)))
+    v = v * vinv[None]
+
+    res = jnp.einsum("ci,cn->in", v, nP)  # (iters, N)
     res2 = res * res
-    valid = (jnp.arange(N) < count)[:, None]
+    valid = (jnp.arange(N) < count)[None, :]
     res2 = jnp.where(valid, res2, jnp.inf)
-    res2_sorted = jnp.sort(res2, axis=0)
+    res2_sorted = jnp.sort(res2, axis=-1)
     # quartile of the VALID rows (ref :51-52 with n_rows == count)
-    med = jnp.take(res2_sorted, jnp.maximum(count, 1) // 4, axis=0)  # (iters,)
+    med = jnp.take(res2_sorted, jnp.maximum(count, 1) // 4, axis=-1)  # (iters,)
     best = jnp.argmin(med)
-    v_best = v[best]
+    v_best = v[:, best]
     # Degenerate-frame guard (deviation from the reference, which keeps
     # the unnormalized tiny cross product — harmless in f64, fatal in
     # f32: ||M||^4 underflows in the loss gradient). When every
     # hypothesis is near-zero (all P rows ~ 0, i.e. the delay is
     # already perfect for a pure-rotation frame), any unit direction
     # fits the zero residuals equally well; pick +z.
-    tiny = jnp.linalg.norm(v_best) < 1e-6
+    tiny = jnp.sum(v_best * v_best) < 1e-12
     fallback = jnp.asarray([0.0, 0.0, 1.0], v_best.dtype)
     return jnp.where(tiny, fallback, v_best)
 

@@ -59,8 +59,9 @@ CONVERGE_COUNT = 5             # ref :321 (`> 5` -> 6 consecutive)
 def frame_loss(P_f: jnp.ndarray, M_f: jnp.ndarray, var_k_f) -> jnp.ndarray:
     """Full robust loss of one frame:
     sum log1p((P M)^2 * k^2 / |M|^2) (ref :99-110 / :117-123).
-    Padded feature rows of P are zero and contribute log1p(0) = 0."""
-    PM = P_f @ M_f
+    P_f is SoA (3, N); padded columns are zero and contribute
+    log1p(0) = 0."""
+    PM = jnp.einsum("cn,c->n", P_f, M_f)
     # floor keeps ||M||^4 representable in f32 inside the gradient;
     # M is ~unit in normal operation so the floor is never active then
     M2 = jnp.maximum(jnp.sum(M_f * M_f), 1e-12)
@@ -72,9 +73,14 @@ def window_loss(
     var_k: jnp.ndarray,
 ) -> jnp.ndarray:
     """Sum of frame losses over the window at one delay (the parallel
-    reduction of ref :242-254)."""
-    P = compute_problem(table, win, delay)
-    losses = jax.vmap(frame_loss)(P, M, var_k)
+    reduction of ref :242-254). Computed whole-window in SoA (no
+    per-frame vmap needed)."""
+    P = compute_problem(table, win, delay)  # (3, F, N)
+    PM = jnp.einsum("cfn,fc->fn", P, M)
+    M2 = jnp.maximum(jnp.sum(M * M, axis=-1), 1e-12)  # (F,)
+    losses = jnp.sum(
+        jnp.log1p(PM * PM * ((var_k * var_k) / M2)[:, None]), axis=-1
+    )
     return jnp.sum(losses * win.frame_mask)
 
 
@@ -145,7 +151,7 @@ def batched_lbfgs(
         done=jnp.linalg.norm(g0, axis=-1) < min_grad_norm,
     )
 
-    def body(_, st: _LBFGSState) -> _LBFGSState:
+    def body(st: _LBFGSState) -> _LBFGSState:
         d_dir = _two_loop_direction(st)
         gd = jnp.sum(st.g * d_dir, axis=-1)
         # non-descent direction -> steepest descent restart
@@ -197,7 +203,18 @@ def batched_lbfgs(
         )
         return _LBFGSState(x_out, f_out, g_out, S, Y, rho, hist, done)
 
-    st = jax.lax.fori_loop(0, max_iters, body, st)
+    # while-loop with early exit: the reference's per-frame L-BFGS stops
+    # at MinGradientNorm; running a fixed 200 iterations would waste
+    # ~10x wall-clock on the device (typical convergence ~15 iters).
+    def cond(carry):
+        i, st = carry
+        return (i < max_iters) & ~jnp.all(st.done)
+
+    def wrapped(carry):
+        i, st = carry
+        return i + 1, body(st)
+
+    _, st = jax.lax.while_loop(cond, wrapped, (jnp.asarray(0, jnp.int32), st))
     return st.x
 
 
@@ -239,12 +256,13 @@ def init_motion(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """GuessMotion (200 RANSAC iters) + GuessK per frame at `delay`
     (ref :218-223, :125-133). Returns (M (F,3), var_k (F,))."""
-    P = compute_problem(table, win, delay)
+    P = compute_problem(table, win, delay)  # (3, F, N)
     keys = jax.random.split(key, win.num_frames)
-    M = jax.vmap(lambda p, c, k: guess_motion(p, c, k, SYNC_RANSAC_ITERS))(
-        P, win.counts, keys
-    )
-    PM = jnp.einsum("fnc,fc->fn", P, M)
+    M = jax.vmap(
+        lambda p, c, k: guess_motion(p, c, k, SYNC_RANSAC_ITERS),
+        in_axes=(1, 0, 0),
+    )(P, win.counts, keys)
+    PM = jnp.einsum("cfn,fc->fn", P, M)
     var_k = clamp_k(1e2 / safe_norm(PM, axis=1))
     return M, var_k
 
@@ -278,9 +296,10 @@ def sync_window(
             return frame_loss(p, m, k) * fm
 
         def vg(Ms):
-            f, g = jax.vmap(jax.value_and_grad(per_frame, argnums=1))(
-                P, Ms, var_k, win.frame_mask
-            )
+            f, g = jax.vmap(
+                jax.value_and_grad(per_frame, argnums=1),
+                in_axes=(1, 0, 0, 0),
+            )(P, Ms, var_k, win.frame_mask)
             return f, g
 
         return vg

@@ -47,9 +47,18 @@ def auto_levels(height: int, width: int) -> int:
     return max(1, min(LK_MAX_LEVELS, int(math.floor(math.log2(m / LK_MIN_COARSE))) + 1))
 
 
-def grid_points(width: int, height: int, step: int = 200) -> np.ndarray:
+def auto_grid_step(width: int) -> int:
+    """The reference hardcodes step=200 px for 2704-wide GoPro frames
+    (ref: core_testcode.cpp:127); scale that density with resolution
+    (exactly 200 at 2704) with a floor for small frames."""
+    return max(40, round(200 * width / 2704))
+
+
+def grid_points(width: int, height: int, step: int | None = None) -> np.ndarray:
     """The reference's sampling grid: x-major from (step, step)
     (ref: core_testcode.cpp:125-132)."""
+    if step is None:
+        step = auto_grid_step(width)
     pts = [
         [float(i), float(j)]
         for i in range(step, width, step)
@@ -176,6 +185,30 @@ def lk_track(
     return _lk_track_jit(img_a, img_b, pts, levels, radius, iters)
 
 
+def lk_track_pairs(
+    imgs_a: jnp.ndarray,
+    imgs_b: jnp.ndarray,
+    pts: jnp.ndarray,
+    levels: int | None = None,
+    radius: int = LK_RADIUS,
+    iters: int = LK_ITERS,
+) -> jnp.ndarray:
+    """Batched tracking: (B, H, W) frame pairs x (N, 2) shared grid ->
+    (B, N, 2). The production path for throughput: ship a block of
+    decoded frames and track all consecutive pairs in one launch
+    instead of one pair at a time."""
+    if levels is None:
+        levels = auto_levels(imgs_a.shape[1], imgs_a.shape[2])
+    return _lk_track_pairs_jit(imgs_a, imgs_b, pts, levels, radius, iters)
+
+
+@partial(jax.jit, static_argnames=("levels", "radius", "iters"))
+def _lk_track_pairs_jit(imgs_a, imgs_b, pts, levels, radius, iters):
+    return jax.vmap(
+        lambda a, b: _lk_track_jit(a, b, pts, levels, radius, iters)
+    )(imgs_a, imgs_b)
+
+
 @partial(jax.jit, static_argnames=("levels", "radius", "iters"))
 def _lk_track_jit(
     img_a: jnp.ndarray,
@@ -278,7 +311,7 @@ def track_frames(
     video_path: str,
     frame_begin: int,
     frame_end: int,
-    grid_step: int = 200,
+    grid_step: int | None = None,
     method: str = "lk",
     progress: bool = False,
 ) -> None:

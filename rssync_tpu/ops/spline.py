@@ -102,6 +102,51 @@ def fit_natural_cubic(y: np.ndarray) -> np.ndarray:
     return np.stack([y, b, c, d], axis=-1).transpose(1, 0, 2)  # (n, R, 4)
 
 
+def pack_table(coeffs: np.ndarray) -> np.ndarray:
+    """Repack host-fit coefficients (n, R, 4) into the device layout
+    (4*R, n): row R*c + r holds coefficient c (0=y,1=b,2=c,3=d) of
+    spline row r, knots along the LAST axis.
+
+    TPU layout rationale: gathers index the knot axis; with knots last,
+    a gather yields (4R, ...batch) — small structure dims leading, big
+    batch dims in the (8,128)-tiled trailing positions. The transposed
+    layout would pad a (batch, 4, 4) gather output 32x (at PreSync
+    scale that is a ~100 GB allocation)."""
+    n, R, _ = coeffs.shape
+    return np.ascontiguousarray(coeffs.transpose(2, 1, 0).reshape(4 * R, n))
+
+
+def eval_spline_packed(
+    packed: jnp.ndarray, i0: jnp.ndarray, p: jnp.ndarray
+) -> jnp.ndarray:
+    """Evaluate R splines at x = i0 + p from the packed (4R, n) table.
+
+    Returns (R, ...) — row axis LEADING (SoA). Same boundary semantics
+    as eval_spline.
+    """
+    R4, n = packed.shape
+    R = R4 // 4
+    pf = jnp.floor(p)
+    xi = i0 + pf.astype(jnp.int32)
+    h_in = p - pf
+    idx = jnp.clip(xi, 0, n - 1)
+    # one 1-D gather per coefficient row: each output is exactly the
+    # batch shape (no small trailing axis for the (8,128) tiling to
+    # pad — a single (..., 16) gather materializes 8x larger)
+    g = jnp.stack([jnp.take(packed[k], idx) for k in range(R4)])  # (4R, ...)
+    yk, bk, ck, dk = g[:R], g[R : 2 * R], g[2 * R : 3 * R], g[3 * R :]
+
+    below = xi < 0
+    above = xi > n - 2
+    h_lo = xi.astype(h_in.dtype) + h_in
+    h_hi = (xi - (n - 1)).astype(h_in.dtype) + h_in
+    h = jnp.where(below, h_lo, jnp.where(above, h_hi, h_in))[None]
+
+    cubic = ((dk * h + ck) * h + bk) * h + yk
+    quad = (ck * h + bk) * h + yk
+    return jnp.where((below | above)[None], quad, cubic)
+
+
 def eval_spline(
     coeffs: jnp.ndarray, i0: jnp.ndarray, p: jnp.ndarray
 ) -> jnp.ndarray:

@@ -1,0 +1,115 @@
+"""Batched sync: stack windows, vmap the engine over the window axis.
+
+The reference syncs one window at a time (driver loop,
+ref core_testcode.cpp:303-316: per syncpoint PreSync then 4x Sync).
+Here every syncpoint of a clip — or of many clips — is one leading
+axis of a single XLA program: PreSync becomes a (windows x delays)
+launch and Sync a vmapped `lax.while_loop` (lanes that converge first
+freeze while the rest continue; XLA runs until all are done).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from rssync_tpu.core.presync import window_cost
+from rssync_tpu.core.problem import SplineTable, TrackWindow
+from rssync_tpu.core.sync import SyncResult, sync_window
+
+
+def stack_windows(windows: Sequence[TrackWindow]) -> TrackWindow:
+    """Stack per-window tensors into one batch with a leading W axis,
+    padding frames/features to the batch maxima."""
+    Fm = max(w.num_frames for w in windows)
+    Nm = max(w.num_features for w in windows)
+
+    def pad(win: TrackWindow) -> TrackWindow:
+        df = Fm - win.num_frames
+        dn = Nm - win.num_features
+
+        def pf(x, dims):
+            pads = [(0, 0)] * x.ndim
+            for d, amount in dims:
+                pads[d] = (0, amount)
+            return jnp.pad(x, pads)
+
+        return TrackWindow(
+            rays_a=pf(win.rays_a, [(1, df), (2, dn)]),
+            rays_b=pf(win.rays_b, [(1, df), (2, dn)]),
+            i0_a=pf(win.i0_a, [(0, df), (1, dn)]),
+            i0_b=pf(win.i0_b, [(0, df), (1, dn)]),
+            f0_a=pf(win.f0_a, [(0, df), (1, dn)]),
+            f0_b=pf(win.f0_b, [(0, df), (1, dn)]),
+            feat_mask=pf(win.feat_mask, [(0, df), (1, dn)]),
+            frame_mask=pf(win.frame_mask, [(0, df)]),
+            counts=pf(win.counts, [(0, df)]),
+        )
+
+    padded = [pad(w) for w in windows]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded)
+
+
+@jax.jit
+def batched_presync(
+    table: SplineTable,
+    wins: TrackWindow,
+    delays: jnp.ndarray,
+    key: jax.Array,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All windows x all delay-grid points.
+
+    wins: stacked TrackWindow with leading W axis. delays: (D,).
+    Returns (best_cost (W,), best_delay (W,)).
+
+    The delay grid is processed in DELAY_CHUNK-sized vmapped slices via
+    lax.map: full vmap over (W x D) materializes the gather volume
+    (D*W*F*N intermediates — tens of GB at the reference operating
+    point); a chunk keeps HBM peak bounded while each slice still
+    fills the chip.
+    """
+    from rssync_tpu.core.presync import DELAY_CHUNK
+
+    W = wins.frame_mask.shape[0]
+    D = delays.shape[0]
+    pad = (-D) % DELAY_CHUNK
+    delays_p = jnp.pad(delays, (0, pad), constant_values=jnp.inf)
+    Dp = delays_p.shape[0]
+    keys = jax.random.split(key, W * Dp).reshape(Dp, W, 2)
+    chunks = delays_p.reshape(-1, DELAY_CHUNK)
+    kchunks = keys.reshape(-1, DELAY_CHUNK, W, 2)
+
+    def one_chunk(args):
+        ds, ks = args  # (K,), (K, W, 2)
+        return jax.vmap(
+            lambda d, kk: jax.vmap(
+                lambda win, k: window_cost(table, win, d, k)
+            )(wins, kk)
+        )(ds, ks)  # (K, W)
+
+    costs = jax.lax.map(one_chunk, (chunks, kchunks)).reshape(Dp, W)
+    costs = jnp.where(jnp.isfinite(delays_p)[:, None], costs, jnp.inf)
+    i = jnp.argmin(costs, axis=0)  # (W,)
+    return jnp.take_along_axis(costs, i[None], axis=0)[0], delays_p[i]
+
+
+@jax.jit
+def batched_sync(
+    table: SplineTable,
+    wins: TrackWindow,
+    initial_delays: jnp.ndarray,
+    search_centers: jnp.ndarray,
+    search_radius,
+    key: jax.Array,
+) -> SyncResult:
+    """vmapped fine Sync over the window axis. initial_delays,
+    search_centers: (W,)."""
+    W = wins.frame_mask.shape[0]
+    keys = jax.random.split(key, W)
+    radius = jnp.broadcast_to(jnp.asarray(search_radius, initial_delays.dtype), (W,))
+    return jax.vmap(
+        lambda w, d0, c, r, k: sync_window(table, w, d0, c, r, k)
+    )(wins, initial_delays, search_centers, radius, keys)

@@ -1,0 +1,57 @@
+"""CLI: `python -m rssync_tpu.pipeline <recipe.json> [options]`.
+
+The reference executable takes exactly one JSON recipe path
+(ref: README.md:14, core_testcode.cpp:251); options beyond that are
+rebuild extensions (tracker choice, batching, guess-orient mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="rssync_tpu.pipeline",
+        description="TPU-native gyro-to-video sync (rs-sync recipe format)",
+    )
+    ap.add_argument("recipe", help="JSON recipe path (times in ms)")
+    ap.add_argument("--method", choices=["lk", "dis"], default="lk",
+                    help="tracker: TPU pyramidal LK (default) or host cv2 DIS")
+    ap.add_argument("--sequential", action="store_true",
+                    help="per-syncpoint loop instead of batched launches")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--guess-orient", action="store_true",
+                    help="rank all 48 gyro orientation variants by PreSync "
+                         "cost instead of running the sync pipeline")
+    ap.add_argument("--frames", type=int, nargs=2, metavar=("BEGIN", "END"),
+                    help="frame range override for --guess-orient")
+    args = ap.parse_args(argv)
+
+    if args.guess_orient:
+        from rssync_tpu.pipeline.guess_orient import run_guess_orient
+
+        results = run_guess_orient(
+            args.recipe, frames=args.frames, method=args.method, seed=args.seed,
+            progress=not args.quiet,
+        )
+        print("\n----- Top-5 results -----")
+        for cost, _delay, orient in results[:5]:
+            print(f"{orient} {cost:g}")
+        return 0
+
+    from rssync_tpu.pipeline.recipe import run_recipe
+
+    result = run_recipe(
+        args.recipe, method=args.method, seed=args.seed,
+        batched=not args.sequential, progress=not args.quiet,
+    )
+    for pos, dms in zip(result.syncpoints, result.delays_ms):
+        print(f"{pos},{dms:g}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,206 @@
+"""The end-to-end batch pipeline: JSON recipe in, sync CSV out.
+
+Rebuild of the reference driver `main`
+(ref: src/core_testcode.cpp:235-319) with the same recipe schema
+(README.md:15-44; times in **milliseconds**), the same outputs — a
+`<frame>,<delay_ms>` sync CSV (ref :315) and an always-written 200-point
+`debug.csv` loss surface of the first window (ref :285-301, `#if 1`) —
+and the same per-syncpoint algorithm: optional PreSync, then 4 Sync
+re-estimation passes with search_center = initial_delay and radius =
+presync radius or infinity (ref :308-314).
+
+Two execution modes:
+  batched=True (default): every syncpoint window is stacked and the
+    whole clip syncs as ONE batched PreSync launch + 4 batched Sync
+    launches (parallel/batch.py) — the TPU-shaped replacement for the
+    reference's sequential syncpoint loop.
+  batched=False: sequential per-syncpoint calls, mirroring the
+    reference's control flow exactly (debug / parity runs).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from rssync_tpu.core.api import SyncProblem
+from rssync_tpu.frontend.integrate import integrate_gyro
+from rssync_tpu.frontend.lens_profiles import load_lens_profile
+from rssync_tpu.frontend.telemetry import load_gyro
+from rssync_tpu.frontend.tracking import track_frames
+from rssync_tpu.parallel.batch import batched_presync, batched_sync, stack_windows
+
+SYNC_PASSES = 4  # ref core_testcode.cpp:314
+DEBUG_PLOT_SIZE = 200  # ref :288
+
+
+@dataclass
+class RecipeResult:
+    syncpoints: list[int]
+    delays_ms: list[float]
+    csv_path: str | None
+    debug_csv_path: str | None
+
+
+def fill_gyro(problem: SyncProblem, gyro_path: str, orient: str | None) -> None:
+    """optdata_fill_gyro equivalent (ref: core_testcode.cpp:37-54):
+    load telemetry, integrate rates into orientations, feed the
+    variable-rate intake (timestamps to integer µs)."""
+    data = load_gyro(gyro_path, orient)
+    quats = integrate_gyro(data.timestamps, data.gyro)
+    ts_us = (data.timestamps * 1_000_000).astype(np.int64)
+    problem.set_gyro_quaternions_us(ts_us, quats)
+
+
+def make_syncpoints(params: dict, frame_start: int, frame_end: int) -> list[int]:
+    """Syncpoint schedule (ref: core_testcode.cpp:270-280)."""
+    fmt = params.get("syncpoints_format", "auto")
+    if fmt == "auto":
+        window = int(params["sync_window"])
+        dist = int(params["syncpoint_distance"])
+        out, pos = [], frame_start
+        while pos + window < frame_end:
+            out.append(pos)
+            pos += dist
+        return out
+    if fmt == "array":
+        return [int(p) for p in params["syncpoints_array"]]
+    raise ValueError(f"unknown syncpoints_format {fmt!r}")
+
+
+def run_recipe(
+    recipe,
+    method: str = "lk",
+    seed: int = 0,
+    batched: bool = True,
+    progress: bool = False,
+) -> RecipeResult:
+    """Execute a recipe (path, file object, or dict)."""
+    if isinstance(recipe, (str, bytes)):
+        with open(recipe) as f:
+            recipe = json.load(f)
+    elif hasattr(recipe, "read"):
+        recipe = json.load(recipe)
+
+    inp = recipe["input"]
+    params = recipe["params"]
+    output = recipe.get("output", {})
+
+    sp = SyncProblem(seed=seed)
+    fill_gyro(sp, inp["gyro_path"], inp.get("gyro_orientation"))
+    lens = load_lens_profile(
+        inp["lens_profile"]["path"], inp["lens_profile"]["name"]
+    )
+
+    frame_start, frame_end = (int(v) for v in inp["frame_range"])
+    sync_window = int(params["sync_window"])
+    track_frames(
+        sp, lens, inp["video_path"], frame_start, frame_end,
+        grid_step=inp.get("grid_step"),  # rebuild extension; None = auto
+        method=method, progress=progress,
+    )
+
+    syncpoints = make_syncpoints(params, frame_start, frame_end)
+
+    initial_delay = float(inp.get("initial_guess", 0.0)) / 1000.0
+    use_presync = bool(inp.get("use_simple_presync", False))
+    presync_radius_ms = float(inp.get("simple_presync_radius", 200.0))
+    presync_step_ms = float(inp.get("simple_presync_step", 2.0))
+
+    # debug.csv: loss surface of the first window (ref :285-301)
+    debug_csv_path = output.get("debug_csv_path", "debug.csv")
+    if debug_csv_path:
+        delays, costs = sp.debug_pre_sync(
+            initial_delay, frame_start, frame_start + sync_window,
+            presync_radius_ms / 1000.0, DEBUG_PLOT_SIZE,
+        )
+        with open(debug_csv_path, "w") as f:
+            for d, c in zip(delays, costs):
+                f.write(f"{d:g},{c:g}\n")
+
+    if batched:
+        delays_ms = _run_batched(
+            sp, syncpoints, sync_window, initial_delay,
+            use_presync, presync_radius_ms, presync_step_ms, progress,
+        )
+    else:
+        delays_ms = _run_sequential(
+            sp, syncpoints, sync_window, initial_delay,
+            use_presync, presync_radius_ms, presync_step_ms, progress,
+        )
+
+    csv_path = output.get("csv_path")
+    if csv_path:
+        with open(csv_path, "w") as f:
+            for pos, dms in zip(syncpoints, delays_ms):
+                f.write(f"{pos},{dms:g}\n")
+
+    return RecipeResult(
+        syncpoints=syncpoints,
+        delays_ms=delays_ms,
+        csv_path=csv_path,
+        debug_csv_path=debug_csv_path,
+    )
+
+
+def _run_sequential(
+    sp, syncpoints, sync_window, initial_delay,
+    use_presync, presync_radius_ms, presync_step_ms, progress,
+):
+    """Reference-exact control flow (ref :303-316)."""
+    out = []
+    for pos in syncpoints:
+        if progress:
+            print(pos, flush=True)
+        delay = initial_delay
+        radius = math.inf
+        if use_presync:
+            radius = presync_radius_ms / 1000.0
+            _, delay = sp.pre_sync(
+                delay, pos, pos + sync_window, presync_step_ms / 1000.0, radius
+            )
+        for _ in range(SYNC_PASSES):
+            _, delay = sp.sync(delay, pos, pos + sync_window, initial_delay, radius)
+        out.append(1000.0 * delay)
+    return out
+
+
+def _run_batched(
+    sp, syncpoints, sync_window, initial_delay,
+    use_presync, presync_radius_ms, presync_step_ms, progress,
+):
+    """All syncpoints as one stacked batch: 1 PreSync launch + 4 Sync
+    launches for the whole clip."""
+    table = sp.spline_table
+    dtype = jnp.float32
+    open_wins = stack_windows(
+        [sp.build_window(p, p + sync_window, closed=False) for p in syncpoints]
+    )
+    closed_wins = stack_windows(
+        [sp.build_window(p, p + sync_window, closed=True) for p in syncpoints]
+    )
+    W = len(syncpoints)
+    radius = math.inf
+    delays = jnp.full((W,), initial_delay, dtype)
+    if use_presync:
+        radius = presync_radius_ms / 1000.0
+        # the reference's f64-accumulated delay grid (ref :69-70)
+        grid = []
+        d = initial_delay - radius
+        while d < initial_delay + radius:
+            grid.append(d)
+            d += presync_step_ms / 1000.0
+        _, delays = batched_presync(
+            table, open_wins, jnp.asarray(np.asarray(grid), dtype), sp.next_key()
+        )
+    centers = jnp.full((W,), initial_delay, dtype)
+    for i in range(SYNC_PASSES):
+        if progress:
+            print(f"sync pass {i}", flush=True)
+        res = batched_sync(table, closed_wins, delays, centers, radius, sp.next_key())
+        delays = res.delay
+    return [1000.0 * float(d) for d in np.asarray(delays, np.float64)]

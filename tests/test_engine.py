@@ -49,7 +49,10 @@ def oracle_problem(scene):
 def test_compute_problem_matches_oracle(engine_problem, oracle_problem):
     table, win, frames = engine_problem
     for delay in [0.0, 0.037, -0.1]:
-        P = np.asarray(compute_problem(table, win, jnp.float32(delay)))
+        # engine layout is SoA (3, F, N); compare in the oracle's (N, 3)
+        P = np.moveaxis(
+            np.asarray(compute_problem(table, win, jnp.float32(delay))), 0, -1
+        )
         for fi, f in enumerate(frames):
             Pref = oracle_problem.compute_problem(f, delay)
             n = Pref.shape[0]
@@ -70,13 +73,13 @@ def test_problem_rows_vanish_at_true_delay(engine_problem, scene):
 def test_ransac_matches_oracle_given_same_pairs(engine_problem, oracle_problem):
     table, win, frames = engine_problem
     delay = 0.01
-    P = np.asarray(compute_problem(table, win, jnp.float32(delay)))
+    P = np.asarray(compute_problem(table, win, jnp.float32(delay)))  # (3,F,N)
     key = jax.random.PRNGKey(42)
     f = 0
     count = int(win.counts[f])
     r0, r1 = ransac.sample_pairs(key, 50, count)
     got = np.asarray(ransac.guess_motion_from_pairs(
-        jnp.asarray(P[f]), count, r0, r1
+        jnp.asarray(P[:, f]), count, r0, r1
     ))
     ref = oracle_problem.compute_problem(frames[f], delay)
     want = oracle_problem.guess_motion_from_pairs(ref, np.asarray(r0), np.asarray(r1))
@@ -133,7 +136,7 @@ def test_presync_ransac_winner_is_defensible(engine_problem, oracle_problem):
             keys[fi], presync_mod.PRESYNC_RANSAC_ITERS, count
         )
         got_M = np.asarray(
-            ransac.guess_motion_from_pairs(jnp.asarray(P_all[fi]), count, r0, r1)
+            ransac.guess_motion_from_pairs(jnp.asarray(P_all[:, fi]), count, r0, r1)
         )
         Pref = oracle_problem.compute_problem(f, delay)
         oracle_M = oracle_problem.guess_motion_from_pairs(

@@ -1,0 +1,113 @@
+"""End-to-end pipeline tests: recipe -> CSV on a rendered clip with
+known ground-truth delay; batched vs sequential parity; guess-orient."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rssync_tpu.analysis.metrics import sync_rmse_from_csv
+from rssync_tpu.pipeline.recipe import run_recipe
+from rssync_tpu.testing.synthvideo import make_clip
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clip")
+    return make_clip(
+        str(d), seed=2, true_delay=0.0213, n_frames=26, fps=30.0,
+        width=640, height=480, pad=1.0,
+    )
+
+
+def make_recipe(clip, tmp_path, **over):
+    r = {
+        "input": {
+            "video_path": clip.video_path,
+            "gyro_path": clip.gyro_path,
+            "gyro_orientation": clip.orient,
+            # track_frames reads frame `end` inclusively (ref semantics:
+            # pairs for frames [begin, end)), so end <= n_frames - 1
+            "frame_range": [0, 25],
+            "lens_profile": {"type": "file", "path": clip.lens_path,
+                             "name": clip.lens_name},
+            # ms units; true engine delay ~= clip.true_delay (s)
+            "initial_guess": 500.0,
+            "use_simple_presync": True,
+            "simple_presync_radius": 80.0,
+            "simple_presync_step": 2.0,
+        },
+        "params": {
+            "sync_window": 8,
+            "syncpoints_format": "auto",
+            "syncpoint_distance": 8,
+        },
+        "output": {
+            "csv_path": str(tmp_path / "sync.csv"),
+            "debug_csv_path": str(tmp_path / "debug.csv"),
+        },
+    }
+    for k, v in over.items():
+        sec, key = k.split("__")
+        r[sec][key] = v
+    return r
+
+
+def test_batched_recipe_recovers_delay(clip, tmp_path):
+    recipe = make_recipe(clip, tmp_path)
+    res = run_recipe(recipe, batched=True)
+    assert res.syncpoints == [0, 8, 16]
+    for dms in res.delays_ms:
+        assert abs(dms - clip.true_delay * 1000.0) < 0.5
+    # CSV written in reference format
+    rows = np.loadtxt(res.csv_path, delimiter=",", ndmin=2)
+    np.testing.assert_array_equal(rows[:, 0], [0, 8, 16])
+    # debug.csv: 200 rows of delay,cost
+    dbg = np.loadtxt(res.debug_csv_path, delimiter=",", ndmin=2)
+    assert dbg.shape == (200, 2)
+    # loss surface minimum near the truth
+    best = dbg[np.argmin(dbg[:, 1]), 0]
+    assert abs(best - clip.true_delay) < 0.005
+    # RMSE metric runs on the output
+    q = sync_rmse_from_csv(res.csv_path)
+    assert q.rmse < 0.5
+
+
+def test_sequential_matches_batched(clip, tmp_path):
+    recipe = make_recipe(clip, tmp_path)
+    res_b = run_recipe(recipe, batched=True, seed=0)
+    res_s = run_recipe(recipe, batched=False, seed=0)
+    assert res_b.syncpoints == res_s.syncpoints
+    for a, b in zip(res_b.delays_ms, res_s.delays_ms):
+        assert abs(a - b) < 0.05  # ms; different RANSAC draws
+    for r in (res_b, res_s):
+        for dms in r.delays_ms:
+            assert abs(dms - clip.true_delay * 1000.0) < 0.5
+
+
+def test_recipe_from_file_and_dis(clip, tmp_path):
+    recipe = make_recipe(clip, tmp_path)
+    p = tmp_path / "recipe.json"
+    p.write_text(json.dumps(recipe))
+    res = run_recipe(str(p), method="dis", batched=True)
+    for dms in res.delays_ms:
+        assert abs(dms - clip.true_delay * 1000.0) < 0.5
+
+
+def test_syncpoints_array_mode(clip, tmp_path):
+    recipe = make_recipe(
+        clip, tmp_path, params__syncpoints_format="array",
+        params__syncpoints_array=[4, 12],
+    )
+    res = run_recipe(recipe, batched=True)
+    assert res.syncpoints == [4, 12]
+
+
+def test_guess_orient_ranks_truth_first(clip, tmp_path):
+    from rssync_tpu.pipeline.guess_orient import run_guess_orient
+
+    recipe = make_recipe(clip, tmp_path)
+    results = run_guess_orient(recipe, frames=(0, 12))
+    assert results[0][2] == clip.orient
+    # truth should clearly beat the runner-up
+    assert results[0][0] < results[1][0] * 0.9
