@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rssync_tpu.ops.spline import eval_spline_packed, fit_natural_cubic, pack_table
+from rssync_tpu.ops.spline import fit_natural_cubic, pack_table
 
 
 @jax.tree_util.register_dataclass
@@ -53,6 +53,12 @@ class SplineTable:
     sample_rate: jnp.ndarray
 
 
+#: knot-band width for the per-frame spline slice (see compute_problem):
+#: covers rolling-shutter spans up to BAND-4 knots, i.e. readout_time *
+#: gyro_rate <= 12 (a GoPro at 200 Hz uses ~2.2).
+BAND = 16
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class TrackWindow:
@@ -61,6 +67,8 @@ class TrackWindow:
     rays_a/rays_b: (3, F, N) unit observation rays (xyz leading).
     i0_a/i0_b:     (F, N) int32 spline base index at delay = 0.
     f0_a/f0_b:     (F, N) f32 fractional spline position at delay = 0.
+    base_a/base_b: (F,) int32 per-frame minimum of i0 (band origin for
+                   the gather-free banded spline eval).
     feat_mask:     (F, N) f32 1.0 for valid features else 0.0.
     frame_mask:    (F,)  f32 1.0 for valid frames else 0.0.
     counts:        (F,)  int32 number of valid features per frame.
@@ -72,6 +80,8 @@ class TrackWindow:
     i0_b: jnp.ndarray
     f0_a: jnp.ndarray
     f0_b: jnp.ndarray
+    base_a: jnp.ndarray
+    base_b: jnp.ndarray
     feat_mask: jnp.ndarray
     frame_mask: jnp.ndarray
     counts: jnp.ndarray
@@ -133,6 +143,9 @@ def build_track_window(
     frame_mask = np.zeros((Fp,), dtype=np.float64)
     counts = np.zeros((Fp,), dtype=np.int32)
 
+    base_a = np.zeros((Fp,), dtype=np.int32)
+    base_b = np.zeros((Fp,), dtype=np.int32)
+
     for f in range(F):
         n = len(frames_ts_a[f])
         if n == 0:
@@ -143,8 +156,21 @@ def build_track_window(
         ib = np.floor(pos_b).astype(np.int32)
         i0_a[f, :n] = ia
         i0_b[f, :n] = ib
+        # pad slots inherit the frame minimum so banded eval offsets
+        # stay in range for masked entries
+        i0_a[f, n:] = ia.min()
+        i0_b[f, n:] = ib.min()
         f0_a[f, :n] = pos_a - ia
         f0_b[f, :n] = pos_b - ib
+        base_a[f] = ia.min()
+        base_b[f] = ib.min()
+        for name, span in (("a", ia.max() - ia.min()), ("b", ib.max() - ib.min())):
+            if span + 4 > BAND:
+                raise ValueError(
+                    f"rolling-shutter knot span {span} of frame {f} side "
+                    f"{name} exceeds the banded-eval width {BAND}; "
+                    "readout_time * gyro_rate is unusually large"
+                )
         rays_a[:, f, :n] = np.asarray(frames_rays_a[f], np.float64).T
         rays_b[:, f, :n] = np.asarray(frames_rays_b[f], np.float64).T
         feat_mask[f, :n] = 1.0
@@ -158,6 +184,8 @@ def build_track_window(
         i0_b=jnp.asarray(i0_b),
         f0_a=jnp.asarray(f0_a, dtype),
         f0_b=jnp.asarray(f0_b, dtype),
+        base_a=jnp.asarray(base_a),
+        base_b=jnp.asarray(base_b),
         feat_mask=jnp.asarray(feat_mask, dtype),
         frame_mask=jnp.asarray(frame_mask, dtype),
         counts=jnp.asarray(counts),
@@ -205,6 +233,62 @@ def dot_soa(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=0)
 
 
+def _banded_quats(
+    coeffs: jnp.ndarray, i0: jnp.ndarray, f0: jnp.ndarray,
+    base: jnp.ndarray, shift,
+) -> jnp.ndarray:
+    """Spline-evaluate quaternions for one side of a window WITHOUT
+    per-ray gathers.
+
+    Per-element gathers run ~100M elem/s on TPU — they made PreSync
+    ~100x slower than this path. Within a frame the knot indices span
+    at most the rolling-shutter readout (~2-3 knots), so one
+    `dynamic_slice` per frame fetches a BAND-knot coefficient slab and
+    each ray selects its 16 coefficients with fused VPU compares
+    (BAND x 16 multiply-adds, no memory traffic).
+
+    coeffs: (16, n); i0/f0: (F, N); base: (F,) per-frame min i0;
+    shift: scalar delay * sample_rate. Returns (4, F, N) quat rows.
+    Boundary semantics identical to ops.spline.eval_spline_packed.
+    """
+    n = coeffs.shape[1]
+    p = f0 + shift
+    pf = jnp.floor(p)
+    xi = i0 + pf.astype(jnp.int32)
+    h_in = p - pf
+
+    sfloor = jnp.floor(shift).astype(jnp.int32)
+    band_start = jnp.clip(base + sfloor - 1, 0, n - BAND)  # (F,)
+    band = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(coeffs, (0, s), (16, BAND))
+    )(band_start)  # (F, 16, BAND)
+
+    idx = jnp.clip(xi, 0, n - 1)
+    rel = jnp.clip(idx - band_start[..., None], 0, BAND - 1)  # (F, N)
+
+    # gather-free coefficient select: sum over the band of
+    # (rel == j) * band[:, c, j]; 16*BAND fused FMAs per ray on the VPU
+    coefs = []
+    for c in range(16):
+        acc = jnp.zeros_like(h_in)
+        for j in range(BAND):
+            acc = acc + jnp.where(rel == j, band[:, c, j][..., None], 0.0)
+        coefs.append(acc)
+    yk = jnp.stack(coefs[0:4])
+    bk = jnp.stack(coefs[4:8])
+    ck = jnp.stack(coefs[8:12])
+    dk = jnp.stack(coefs[12:16])
+
+    below = xi < 0
+    above = xi > n - 2
+    h_lo = xi.astype(h_in.dtype) + h_in
+    h_hi = (xi - (n - 1)).astype(h_in.dtype) + h_in
+    h = jnp.where(below, h_lo, jnp.where(above, h_hi, h_in))[None]
+    cubic = ((dk * h + ck) * h + bk) * h + yk
+    quad = (ck * h + bk) * h + yk
+    return jnp.where((below | above)[None], quad, cubic)
+
+
 def compute_problem(
     table: SplineTable, win: TrackWindow, gyro_delay
 ) -> jnp.ndarray:
@@ -216,13 +300,14 @@ def compute_problem(
     the correct delay (ref: src/core/core_private.cpp:15-32). Padded
     entries are zeroed.
 
-    Fully batched: 2 F N spline gathers (knot-axis, layout-friendly),
-    quaternion normalize/rotate on the VPU as scalar-component math,
-    one cross product. vmap-able over leading delay/window axes.
+    Fully batched and gather-free: banded spline eval (see
+    _banded_quats), quaternion normalize/rotate as scalar-component
+    VPU math, one cross product. vmap-able over leading delay/window
+    axes.
     """
     shift = gyro_delay * table.sample_rate
-    q_a = eval_spline_packed(table.coeffs, win.i0_a, win.f0_a + shift)  # (4,F,N)
-    q_b = eval_spline_packed(table.coeffs, win.i0_b, win.f0_b + shift)
+    q_a = _banded_quats(table.coeffs, win.i0_a, win.f0_a, win.base_a, shift)
+    q_b = _banded_quats(table.coeffs, win.i0_b, win.f0_b, win.base_b, shift)
     q_a = q_a * jax.lax.rsqrt(jnp.maximum(dot_soa(q_a, q_a), 1e-30))
     q_b = q_b * jax.lax.rsqrt(jnp.maximum(dot_soa(q_b, q_b), 1e-30))
     ar = _conj_rotate_soa(q_a, win.rays_a)

@@ -159,20 +159,25 @@ def batched_lbfgs(
         d_dir = jnp.where(bad[:, None], -st.g, d_dir)
         gd = jnp.where(bad, -jnp.sum(st.g * st.g, axis=-1), gd)
 
-        # Armijo backtracking from t = 1
-        def ls_body(_, carry):
-            t, accepted, t_acc = carry
+        # Armijo backtracking from t = 1, early exit once every live
+        # lane has accepted (typically the very first trial)
+        def ls_cond(carry):
+            i, t, accepted, t_acc = carry
+            return (i < ls_trials) & ~jnp.all(accepted)
+
+        def ls_body(carry):
+            i, t, accepted, t_acc = carry
             f_try = value_and_grad_fn(st.x + t[:, None] * d_dir)[0]
             ok = (f_try <= st.f + armijo_c1 * t * gd) & ~accepted
             t_acc = jnp.where(ok, t, t_acc)
-            accepted = accepted | ok
-            return t * 0.5, accepted, t_acc
+            return i + 1, t * 0.5, accepted | ok, t_acc
 
         t0 = jnp.ones((B,), x0.dtype)
-        _, accepted, t_acc = jax.lax.fori_loop(
-            0, ls_trials, ls_body, (t0, jnp.zeros(B, bool), jnp.zeros(B, x0.dtype))
+        _, _, accepted, t_acc = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.asarray(0, jnp.int32), t0, st.done, jnp.zeros(B, x0.dtype)),
         )
-        step_t = jnp.where(accepted, t_acc, 0.0)
+        step_t = jnp.where(accepted & ~st.done, t_acc, 0.0)
 
         x_new = st.x + step_t[:, None] * d_dir
         f_new, g_new = value_and_grad_fn(x_new)
@@ -228,16 +233,21 @@ def _backtrack_step(f_only, x0, fval, grad):
     (effectively zero step), exactly like the reference."""
     m = grad * grad
 
-    def body(_, carry):
-        t, done = carry
+    def cond(carry):
+        i, t, done = carry
+        return (i < BT_MAX_ITERS) & ~done
+
+    def body(carry):
+        i, t, done = carry
         v1 = f_only(x0 - t * grad)
         ok = (fval - v1) >= t * BT_SUFFICIENT_DECREASE * m
-        done_new = done | ok
-        t_new = jnp.where(done_new, t, t * BT_DECAY)
-        return t_new, done_new
+        t_new = jnp.where(ok, t, t * BT_DECAY)
+        return i + 1, t_new, ok
 
-    t, _ = jax.lax.fori_loop(
-        0, BT_MAX_ITERS, body, (jnp.asarray(BT_INITIAL_STEP, x0.dtype), jnp.asarray(False))
+    _, t, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32),
+         jnp.asarray(BT_INITIAL_STEP, x0.dtype), jnp.asarray(False)),
     )
     return -t * grad
 

@@ -72,15 +72,17 @@ def grid_points(width: int, height: int, step: int | None = None) -> np.ndarray:
 
 
 def _blur5(img: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Separable 5-tap Gaussian [1 4 6 4 1]/16 with edge padding."""
-    pad = [(0, 0), (0, 0)]
-    pad[axis] = (2, 2)
+    """Separable 5-tap Gaussian [1 4 6 4 1]/16 with edge padding over
+    one of the last two (spatial) axes; leading axes are batch."""
+    ax = img.ndim - 2 + axis  # axis 0 -> rows, 1 -> cols
+    pad = [(0, 0)] * img.ndim
+    pad[ax] = (2, 2)
     p = jnp.pad(img, pad, mode="edge")
-    n = img.shape[axis]
+    n = img.shape[ax]
 
     def sl(off):
-        idx = [slice(None), slice(None)]
-        idx[axis] = slice(off, off + n)
+        idx = [slice(None)] * img.ndim
+        idx[ax] = slice(off, off + n)
         return p[tuple(idx)]
 
     return (sl(0) + 4.0 * sl(1) + 6.0 * sl(2) + 4.0 * sl(3) + sl(4)) / 16.0
@@ -91,12 +93,26 @@ def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
     cv2.pyrDown). Plain 2x2 pooling aliases high-frequency texture and
     breaks coarse-level LK for large motions."""
     img = _blur5(_blur5(img, 0), 1)
-    return img[::2, ::2]
+    return img[..., ::2, ::2]
+
+
+def _avgpool2(img: jnp.ndarray) -> jnp.ndarray:
+    H, W = img.shape[-2], img.shape[-1]
+    H2, W2 = H // 2, W // 2
+    x = img[..., : H2 * 2, : W2 * 2]
+    x = x.reshape(*x.shape[:-2], H2, 2, W2, 2)
+    return x.mean(axis=(-3, -1))
 
 
 def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
+    """Image pyramid. The full-resolution -> level-1 step uses a 2x2
+    average (the 5-tap blur at full res costs ~4x the whole rest of the
+    pyramid in HBM traffic; a box filter antialiases enough for LK on
+    natural images), deeper levels use the Gaussian."""
     pyr = [img]
-    for _ in range(1, levels):
+    if levels > 1:
+        pyr.append(_avgpool2(img))
+    for _ in range(2, levels):
         pyr.append(_downsample2(pyr[-1]))
     return pyr
 
@@ -105,43 +121,55 @@ def _bilinear_patches(img: jnp.ndarray, centers: jnp.ndarray, radius: int) -> jn
     """Sample (2r+1)^2 windows at fractional centers.
 
     img: (H, W); centers: (N, 2) xy. Returns (N, 2r+1, 2r+1).
-    Implemented as 4 clipped gathers + lerp — maps to vectorized
-    gathers on TPU.
+
+    TPU-shaped implementation: an LK window is RIGID, so every pixel of
+    a patch shares the point's single fractional offset. Each patch is
+    one `dynamic_slice` of (w+1, w+1) at the integer origin (a block
+    transfer the hardware is good at) blended by 4 scalar weights —
+    per-element gathers (jnp.take of scattered indices) run ~100M
+    elem/s on TPU and made tracking 100x slower than this.
+
+    Near the border dynamic_slice clamps the slice start, which shifts
+    the window instead of clamp-padding it; sync feature grids stay
+    interior so the difference is immaterial.
     """
-    H, W = img.shape
     w = 2 * radius + 1
-    dy, dx = jnp.meshgrid(
-        jnp.arange(-radius, radius + 1, dtype=img.dtype),
-        jnp.arange(-radius, radius + 1, dtype=img.dtype),
-        indexing="ij",
-    )
-    x = centers[:, 0, None, None] + dx[None]
-    y = centers[:, 1, None, None] + dy[None]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-    flat = img.reshape(-1)
-    idx = y0i * W + x0i
-    p00 = jnp.take(flat, idx)
-    p01 = jnp.take(flat, idx + 1)
-    p10 = jnp.take(flat, idx + W)
-    p11 = jnp.take(flat, idx + W + 1)
+    start = centers - radius  # (N, 2) xy of patch origin
+    base = jnp.floor(start)
+    frac = start - base  # (N, 2) in [0, 1)
+
+    def one(origin_xy):
+        return jax.lax.dynamic_slice(
+            img,
+            (origin_xy[1].astype(jnp.int32), origin_xy[0].astype(jnp.int32)),
+            (w + 1, w + 1),
+        )
+
+    big = jax.vmap(one)(base)  # (N, w+1, w+1)
+    fx = frac[:, 0, None, None]
+    fy = frac[:, 1, None, None]
     return (
-        p00 * (1 - fx) * (1 - fy)
-        + p01 * fx * (1 - fy)
-        + p10 * (1 - fx) * fy
-        + p11 * fx * fy
+        big[:, :-1, :-1] * (1 - fx) * (1 - fy)
+        + big[:, :-1, 1:] * fx * (1 - fy)
+        + big[:, 1:, :-1] * (1 - fx) * fy
+        + big[:, 1:, 1:] * fx * fy
     )
 
 
 def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int):
     """One pyramid level of iterative LK for all points.
 
-    pts_level: (N, 2) point positions in this level's coordinates.
-    guess: (N, 2) current displacement estimate. Returns refined (N, 2).
+    img_a/img_b must be EDGE-PADDED by `radius + 2` (see _pad_level)
+    and pts_level already offset by the pad — the dynamic-slice patch
+    extraction must never clamp (clamping would shift the window and
+    misalign template vs search patch — fatal at coarse levels where
+    the window covers most of the image). Padding happens once per
+    frame per level in the callers, not here: padding inside the level
+    would copy every full-resolution image once per PAIR.
+
+    pts_level: (N, 2) point positions in this level's (padded)
+    coordinates. guess: (N, 2) current displacement estimate.
+    Returns refined (N, 2).
     """
     # template patch + gradients from image A (fixed over iterations)
     patch_a = _bilinear_patches(img_a, pts_level, radius + 1)  # (N, w+2, w+2)
@@ -193,10 +221,9 @@ def lk_track_pairs(
     radius: int = LK_RADIUS,
     iters: int = LK_ITERS,
 ) -> jnp.ndarray:
-    """Batched tracking: (B, H, W) frame pairs x (N, 2) shared grid ->
-    (B, N, 2). The production path for throughput: ship a block of
-    decoded frames and track all consecutive pairs in one launch
-    instead of one pair at a time."""
+    """Batched tracking of independent pairs: (B, H, W) x2 -> (B, N, 2).
+    For consecutive video frames prefer lk_track_video (shares each
+    frame's pyramid between its two pairs)."""
     if levels is None:
         levels = auto_levels(imgs_a.shape[1], imgs_a.shape[2])
     return _lk_track_pairs_jit(imgs_a, imgs_b, pts, levels, radius, iters)
@@ -207,6 +234,47 @@ def _lk_track_pairs_jit(imgs_a, imgs_b, pts, levels, radius, iters):
     return jax.vmap(
         lambda a, b: _lk_track_jit(a, b, pts, levels, radius, iters)
     )(imgs_a, imgs_b)
+
+
+def lk_track_video(
+    frames: jnp.ndarray,
+    pts: jnp.ndarray,
+    levels: int | None = None,
+    radius: int = LK_RADIUS,
+    iters: int = LK_ITERS,
+) -> jnp.ndarray:
+    """Track the shared grid across all consecutive pairs of a frame
+    block: (B, H, W) -> (B-1, N, 2). Each frame's pyramid is built
+    once (the pair-wise API rebuilds interior frames' pyramids twice —
+    pyramid construction dominates tracking HBM traffic). u8 input is
+    converted on device (4x less host->device transfer)."""
+    if levels is None:
+        levels = auto_levels(frames.shape[1], frames.shape[2])
+    return _lk_track_video_jit(frames, pts, levels, radius, iters)
+
+
+@partial(jax.jit, static_argnames=("levels", "radius", "iters"))
+def _lk_track_video_jit(frames, pts, levels, radius, iters):
+    frames = frames.astype(jnp.float32)
+    # one pyramid + one edge-pad per FRAME (each frame serves 2 pairs)
+    pyr = [_pad_level(l, radius) for l in build_pyramid(frames, levels)]
+    pad = radius + 2
+    B = frames.shape[0]
+    d = jnp.zeros((B - 1,) + pts.shape, jnp.float32)
+    for lvl in range(levels - 1, -1, -1):
+        scale = jnp.float32(2.0**lvl)
+        lk = jax.vmap(
+            lambda a, b, g: _lk_level(a, b, pts / scale + pad, g, radius, iters),
+            in_axes=(0, 0, 0),
+        )
+        d = lk(pyr[lvl][:-1], pyr[lvl][1:], d / scale) * scale
+    return pts[None] + d
+
+
+def _pad_level(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    pad = radius + 2
+    cfg = [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)]
+    return jnp.pad(img, cfg, mode="edge")
 
 
 @partial(jax.jit, static_argnames=("levels", "radius", "iters"))
@@ -220,12 +288,15 @@ def _lk_track_jit(
 ) -> jnp.ndarray:
     img_a = img_a.astype(jnp.float32)
     img_b = img_b.astype(jnp.float32)
-    pyr_a = build_pyramid(img_a, levels)
-    pyr_b = build_pyramid(img_b, levels)
+    pyr_a = [_pad_level(l, radius) for l in build_pyramid(img_a, levels)]
+    pyr_b = [_pad_level(l, radius) for l in build_pyramid(img_b, levels)]
+    pad = radius + 2
     d = jnp.zeros_like(pts)
     for lvl in range(levels - 1, -1, -1):
         scale = 2.0**lvl
-        d = _lk_level(pyr_a[lvl], pyr_b[lvl], pts / scale, d / scale, radius, iters) * scale
+        d = _lk_level(
+            pyr_a[lvl], pyr_b[lvl], pts / scale + pad, d / scale, radius, iters
+        ) * scale
     return pts + d
 
 
@@ -305,6 +376,11 @@ class VideoSource:
 # full tracking stage
 
 
+#: frames per device tracking launch (block + 1 frames resident;
+#: 2.7k f32 pyramids are ~29 MB/frame so 16 frames ~ 0.5 GB)
+TRACK_BLOCK = 16
+
+
 def track_frames(
     problem,
     lens: lens_ops.Lens,
@@ -314,53 +390,78 @@ def track_frames(
     grid_step: int | None = None,
     method: str = "lk",
     progress: bool = False,
+    block: int = TRACK_BLOCK,
 ) -> None:
     """Track every consecutive frame pair in [frame_begin, frame_end)
     and feed `problem.set_track_result` (ref: core_testcode.cpp:97-162).
 
-    method: "lk" (TPU pyramidal LK, default) or "dis" (host cv2 DIS
-    dense flow sampled at the grid — the reference's tracker, kept for
-    cross-validation).
+    method: "lk" (TPU pyramidal LK, default: frames decode on host in
+    blocks, ship as u8, and every block's pairs track in one launch
+    with per-frame pyramids shared) or "dis" (host cv2 DIS dense flow
+    sampled at the grid — the reference's tracker, for cross-validation).
     """
     src = VideoSource(video_path)
     pts = grid_points(src.width, src.height, grid_step)
     pts_j = jnp.asarray(pts, jnp.float32)
 
-    dis = None
-    if method == "dis":
-        import cv2
-
-        dis = cv2.DISOpticalFlow.create()
-
-    it = src.frames(frame_begin, frame_end + 1)
-    try:
-        cur = next(it)
-    except StopIteration:
-        raise RuntimeError("frame read failed")
-    for nxt in it:
-        if progress:
-            print(f"processing frame {cur.index}", flush=True)
-        if method == "lk":
-            tracked = np.asarray(lk_track(jnp.asarray(cur.gray), jnp.asarray(nxt.gray), pts_j))
-        elif method == "dis":
-            flow = dis.calc(cur.gray, nxt.gray, None)
-            ij = pts.astype(int)
-            f = flow[ij[:, 1], ij[:, 0]]
-            tracked = pts + f
-        else:
-            raise ValueError(f"unknown tracking method {method!r}")
-
+    def emit(frame_idx, tracked, ts_cur, ts_nxt):
         rays_a, rays_b = lift_rays(
-            lens, jnp.asarray(pts, jnp.float32), jnp.asarray(tracked, jnp.float32)
+            lens, pts_j, jnp.asarray(tracked, jnp.float32)
         )
         ts_a, ts_b = rolling_shutter_ts(
-            lens, pts, tracked, cur.timestamp, nxt.timestamp, src.height
+            lens, pts, tracked, ts_cur, ts_nxt, src.height
         )
         problem.set_track_result(
-            cur.index,
+            frame_idx,
             np.asarray(ts_a, np.float64),
             np.asarray(ts_b, np.float64),
             np.asarray(rays_a, np.float64),
             np.asarray(rays_b, np.float64),
         )
-        cur = nxt
+
+    if method == "dis":
+        import cv2
+
+        dis = cv2.DISOpticalFlow.create()
+        it = src.frames(frame_begin, frame_end + 1)
+        cur = next(it)
+        for nxt in it:
+            if progress:
+                print(f"processing frame {cur.index}", flush=True)
+            flow = dis.calc(cur.gray, nxt.gray, None)
+            ij = pts.astype(int)
+            tracked = pts + flow[ij[:, 1], ij[:, 0]]
+            emit(cur.index, tracked, cur.timestamp, nxt.timestamp)
+            cur = nxt
+        return
+    if method != "lk":
+        raise ValueError(f"unknown tracking method {method!r}")
+
+    it = src.frames(frame_begin, frame_end + 1)
+    carry: Frame | None = None
+    done = False
+    while not done:
+        frames = [carry] if carry is not None else []
+        while len(frames) < block + 1:
+            try:
+                frames.append(next(it))
+            except StopIteration:
+                done = True
+                break
+        if len(frames) < 2:
+            break
+        if progress:
+            print(
+                f"processing frames {frames[0].index}..{frames[-1].index - 1}",
+                flush=True,
+            )
+        stack = jnp.asarray(np.stack([f.gray for f in frames]))  # u8 on device
+        tracked_all = np.asarray(lk_track_video(stack, pts_j))
+        for i in range(len(frames) - 1):
+            emit(
+                frames[i].index,
+                tracked_all[i],
+                frames[i].timestamp,
+                frames[i + 1].timestamp,
+            )
+        carry = frames[-1]

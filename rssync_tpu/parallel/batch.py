@@ -44,6 +44,8 @@ def stack_windows(windows: Sequence[TrackWindow]) -> TrackWindow:
             i0_b=pf(win.i0_b, [(0, df), (1, dn)]),
             f0_a=pf(win.f0_a, [(0, df), (1, dn)]),
             f0_b=pf(win.f0_b, [(0, df), (1, dn)]),
+            base_a=pf(win.base_a, [(0, df)]),
+            base_b=pf(win.base_b, [(0, df)]),
             feat_mask=pf(win.feat_mask, [(0, df), (1, dn)]),
             frame_mask=pf(win.frame_mask, [(0, df)]),
             counts=pf(win.counts, [(0, df)]),
