@@ -186,6 +186,38 @@ def eval_spline(
     return jnp.where((below | above)[..., None], quad, cubic)
 
 
+def rotational_deriv(
+    coeffs: jnp.ndarray, i0: jnp.ndarray, p: jnp.ndarray
+) -> jnp.ndarray:
+    """Angular-velocity quaternion of a quaternion spline:
+    2 * conj(q) * q' / |q|^2 (ref: ndspline::rderiv, ndspline.cpp:45-49).
+    coeffs must hold exactly 4 rows (w, x, y, z). Returns (..., 4)
+    whose vector part is the body angular rate in spline-index units.
+    """
+    from rssync_tpu.ops import quat as quat_ops
+
+    q = eval_spline(coeffs, i0, p)
+    dq = eval_spline_deriv(coeffs, i0, p)
+    n2 = jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), 1e-30)
+    return 2.0 * quat_ops.mul(quat_ops.conj(q), dq) / n2
+
+
+def rotational_deriv_numeric(
+    coeffs: jnp.ndarray, i0: jnp.ndarray, p: jnp.ndarray, eps: float = 1e-7
+) -> jnp.ndarray:
+    """Numeric-difference variant (ref: ndspline::rderiv_numeric,
+    ndspline.cpp:37-43): conj(normalize(q(t))) * normalize(q(t+eps)) /
+    eps with the scalar part zeroed. NOTE: the reference formula lacks
+    the factor 2 of `rotational_deriv`, so this returns HALF the body
+    angular rate — replicated as-is (both are unused by the engine)."""
+    from rssync_tpu.ops import quat as quat_ops
+
+    q_l = quat_ops.normalize(eval_spline(coeffs, i0, p))
+    q_r = quat_ops.normalize(eval_spline(coeffs, i0, p + eps))
+    out = quat_ops.mul(quat_ops.conj(q_l), q_r) / eps
+    return out.at[..., 0].set(0.0)
+
+
 def eval_spline_deriv(
     coeffs: jnp.ndarray, i0: jnp.ndarray, p: jnp.ndarray
 ) -> jnp.ndarray:

@@ -23,6 +23,9 @@ def main(argv=None) -> int:
                     help="per-syncpoint loop instead of batched launches")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--track-cache", metavar="DIR", default=None,
+                    help="cache the track stage to DIR (skip re-decoding "
+                         "video on repeated runs)")
     ap.add_argument("--guess-orient", action="store_true",
                     help="rank all 48 gyro orientation variants by PreSync "
                          "cost instead of running the sync pipeline")
@@ -47,6 +50,7 @@ def main(argv=None) -> int:
     result = run_recipe(
         args.recipe, method=args.method, seed=args.seed,
         batched=not args.sequential, progress=not args.quiet,
+        track_cache_dir=args.track_cache,
     )
     for pos, dms in zip(result.syncpoints, result.delays_ms):
         print(f"{pos},{dms:g}")

@@ -78,8 +78,20 @@ def run_recipe(
     seed: int = 0,
     batched: bool = True,
     progress: bool = False,
+    track_cache_dir: str | None = None,
+    timings=None,
 ) -> RecipeResult:
-    """Execute a recipe (path, file object, or dict)."""
+    """Execute a recipe (path, file object, or dict).
+
+    track_cache_dir: optional directory caching the track stage so
+    sync experiments re-run without re-decoding video (SURVEY §5.4).
+    timings: optional utils.timing.Timings collecting per-stage
+    wall-clock.
+    """
+    from rssync_tpu.utils.timing import Timings
+    from rssync_tpu.utils import track_cache
+
+    timings = timings if timings is not None else Timings()
     if isinstance(recipe, (str, bytes)):
         with open(recipe) as f:
             recipe = json.load(f)
@@ -91,18 +103,27 @@ def run_recipe(
     output = recipe.get("output", {})
 
     sp = SyncProblem(seed=seed)
-    fill_gyro(sp, inp["gyro_path"], inp.get("gyro_orientation"))
+    with timings.stage("gyro_ingest"):
+        fill_gyro(sp, inp["gyro_path"], inp.get("gyro_orientation"))
     lens = load_lens_profile(
         inp["lens_profile"]["path"], inp["lens_profile"]["name"]
     )
 
     frame_start, frame_end = (int(v) for v in inp["frame_range"])
     sync_window = int(params["sync_window"])
-    track_frames(
-        sp, lens, inp["video_path"], frame_start, frame_end,
-        grid_step=inp.get("grid_step"),  # rebuild extension; None = auto
-        method=method, progress=progress,
-    )
+    with timings.stage("tracking"):
+        key = track_cache.cache_key(
+            inp["video_path"], frame_start, frame_end,
+            inp.get("grid_step"), method, tuple(lens.as_array()),
+        ) if track_cache_dir else ""
+        track_cache.tracks_cached_or_compute(
+            sp, track_cache_dir, key,
+            lambda: track_frames(
+                sp, lens, inp["video_path"], frame_start, frame_end,
+                grid_step=inp.get("grid_step"),
+                method=method, progress=progress,
+            ),
+        )
 
     syncpoints = make_syncpoints(params, frame_start, frame_end)
 
@@ -114,24 +135,28 @@ def run_recipe(
     # debug.csv: loss surface of the first window (ref :285-301)
     debug_csv_path = output.get("debug_csv_path", "debug.csv")
     if debug_csv_path:
-        delays, costs = sp.debug_pre_sync(
-            initial_delay, frame_start, frame_start + sync_window,
-            presync_radius_ms / 1000.0, DEBUG_PLOT_SIZE,
-        )
+        with timings.stage("debug_presync"):
+            delays, costs = sp.debug_pre_sync(
+                initial_delay, frame_start, frame_start + sync_window,
+                presync_radius_ms / 1000.0, DEBUG_PLOT_SIZE,
+            )
         with open(debug_csv_path, "w") as f:
             for d, c in zip(delays, costs):
                 f.write(f"{d:g},{c:g}\n")
 
-    if batched:
-        delays_ms = _run_batched(
-            sp, syncpoints, sync_window, initial_delay,
-            use_presync, presync_radius_ms, presync_step_ms, progress,
-        )
-    else:
-        delays_ms = _run_sequential(
-            sp, syncpoints, sync_window, initial_delay,
-            use_presync, presync_radius_ms, presync_step_ms, progress,
-        )
+    with timings.stage("sync_all"):
+        if batched:
+            delays_ms = _run_batched(
+                sp, syncpoints, sync_window, initial_delay,
+                use_presync, presync_radius_ms, presync_step_ms, progress,
+            )
+        else:
+            delays_ms = _run_sequential(
+                sp, syncpoints, sync_window, initial_delay,
+                use_presync, presync_radius_ms, presync_step_ms, progress,
+            )
+    if progress:
+        print(timings.report(), flush=True)
 
     csv_path = output.get("csv_path")
     if csv_path:
