@@ -35,7 +35,10 @@ from rssync_tpu.ops import lens as lens_ops
 # we deepen until the coarsest level is ~24 px across. For 2.7k GoPro
 # frames that is 7 levels ~= 250 px inter-frame motion capacity.
 LK_MIN_COARSE = 24
-LK_MAX_LEVELS = 7
+# depth capped at 6: with the LK_MARGIN=8 search buffer the coarsest
+# level still covers (8-1) * 2^5 = 224 px of inter-frame motion at
+# 2.7k, and each level costs two per-point slicing rounds
+LK_MAX_LEVELS = 6
 LK_RADIUS = 10  # 21x21 window
 LK_ITERS = 10
 
@@ -105,15 +108,23 @@ def _avgpool2(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
-    """Image pyramid. The full-resolution -> level-1 step uses a 2x2
-    average (the 5-tap blur at full res costs ~4x the whole rest of the
-    pyramid in HBM traffic; a box filter antialiases enough for LK on
-    natural images), deeper levels use the Gaussian."""
+    """Image pyramid, HBM-traffic-minimal.
+
+    - level 0 keeps the input dtype (u8 from the decoder: no 4x f32
+      blow-up of the full-res frame; patches convert to f32 after
+      extraction, where they are tiny)
+    - level 1 is a 2x2 average (the 5-tap blur at full res costs ~4x
+      the whole rest of the pyramid; a box filter antialiases enough
+      for LK on natural images), stored bf16
+    - deeper levels use the 5-tap Gaussian, stored bf16 (coarse levels
+      only steer the search; the f32 final refinement happens at
+      level 0)
+    """
     pyr = [img]
     if levels > 1:
-        pyr.append(_avgpool2(img))
+        pyr.append(_avgpool2(img.astype(jnp.float32)).astype(jnp.bfloat16))
     for _ in range(2, levels):
-        pyr.append(_downsample2(pyr[-1]))
+        pyr.append(_downsample2(pyr[-1].astype(jnp.float32)).astype(jnp.bfloat16))
     return pyr
 
 
@@ -145,7 +156,8 @@ def _bilinear_patches(img: jnp.ndarray, centers: jnp.ndarray, radius: int) -> jn
             (w + 1, w + 1),
         )
 
-    big = jax.vmap(one)(base)  # (N, w+1, w+1)
+    big = jax.vmap(one)(base).astype(jnp.float32)  # (N, w+1, w+1)
+    frac = frac.astype(jnp.float32)
     fx = frac[:, 0, None, None]
     fy = frac[:, 1, None, None]
     return (
@@ -156,21 +168,30 @@ def _bilinear_patches(img: jnp.ndarray, centers: jnp.ndarray, radius: int) -> jn
     )
 
 
+#: search-buffer margin: LK iterations may move the displacement up to
+#: +-(MARGIN-1) px away from the incoming guess within one level.
+#: Coarse-to-fine guesses are within a few px; the coarsest level
+#: starts at 0 and its capacity is bounded by this margin.
+LK_MARGIN = 8
+
+
 def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int):
     """One pyramid level of iterative LK for all points.
 
-    img_a/img_b must be EDGE-PADDED by `radius + 2` (see _pad_level)
-    and pts_level already offset by the pad — the dynamic-slice patch
-    extraction must never clamp (clamping would shift the window and
-    misalign template vs search patch — fatal at coarse levels where
-    the window covers most of the image). Padding happens once per
-    frame per level in the callers, not here: padding inside the level
-    would copy every full-resolution image once per PAIR.
+    img_a/img_b must be EDGE-PADDED per _pad_level and pts_level offset
+    accordingly. pts_level: (N, 2) positions in this level's (padded)
+    coordinates. guess: (N, 2) incoming displacement. Returns (N, 2).
 
-    pts_level: (N, 2) point positions in this level's (padded)
-    coordinates. guess: (N, 2) current displacement estimate.
-    Returns refined (N, 2).
+    TPU structure: exactly TWO rounds of per-point slicing from the
+    level image — the template (image A) and one (2*MARGIN + w + 1)^2
+    search buffer around the guess (image B). The iteration loop never
+    touches the image again: the integer part of each point's offset
+    selects among (2*MARGIN+1)^2 STATIC slices of its resident buffer
+    (fused VPU selects), the fraction is a 4-tap blend. Per-point
+    dynamic slices cost ~1.5 us each on TPU, so the previous
+    extract-per-iteration design was ~6x more expensive.
     """
+    w = 2 * radius + 1
     # template patch + gradients from image A (fixed over iterations)
     patch_a = _bilinear_patches(img_a, pts_level, radius + 1)  # (N, w+2, w+2)
     ix = 0.5 * (patch_a[:, 1:-1, 2:] - patch_a[:, 1:-1, :-2])
@@ -183,8 +204,49 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int):
     inv_ok = det > 1e-6
     det_safe = jnp.where(inv_ok, det, 1.0)
 
-    def body(_, d):
-        patch_b = _bilinear_patches(img_b, pts_level + d, radius)
+    # resident search buffer around the incoming guess:
+    # buf[n, k, l] = img_b[oy + k, ox + l] with (ox, oy) =
+    # floor(pts + guess) - radius - MARGIN
+    M = LK_MARGIN
+    S = w + 2 * M + 2
+    anchor = jnp.floor(pts_level + guess)  # (N, 2) int-valued
+    origin = anchor - (radius + M)
+
+    def one(o):
+        return jax.lax.dynamic_slice(
+            img_b, (o[1].astype(jnp.int32), o[0].astype(jnp.int32)), (S, S)
+        )
+
+    buf = jax.vmap(one)(origin).astype(jnp.float32)  # (N, S, S)
+    g_frac = ((pts_level + guess) - anchor).astype(jnp.float32)  # in [0, 1)
+
+    def body(_, d_rel):
+        # sample positions: pts + guess + d_rel + [-r .. r+1]
+        # buffer coords: (M + g_frac + d_rel) + [0 .. w+1]
+        z = g_frac + d_rel  # (N, 2)
+        zi = jnp.clip(jnp.floor(z), -M, M)
+        zf = z - zi  # (N, 2) in [0, 1) when unclamped
+        sel_y = (zi[:, 1] + M).astype(jnp.int32)  # 0 .. 2M
+        sel_x = (zi[:, 0] + M).astype(jnp.int32)
+        # separable shift-select: rows then columns — 2*(2M+1) fused
+        # terms instead of (2M+1)^2 (the joint form defeats XLA's
+        # fusion staging and re-reads the buffer from HBM per term)
+        rows = jnp.zeros((buf.shape[0], w + 1, buf.shape[2]), buf.dtype)
+        for dy in range(2 * M + 1):
+            hit = (sel_y == dy)[:, None, None]
+            rows = rows + jnp.where(hit, buf[:, dy : dy + w + 1, :], 0.0)
+        big = jnp.zeros((buf.shape[0], w + 1, w + 1), buf.dtype)
+        for dx in range(2 * M + 1):
+            hit = (sel_x == dx)[:, None, None]
+            big = big + jnp.where(hit, rows[:, :, dx : dx + w + 1], 0.0)
+        fx = zf[:, 0, None, None]
+        fy = zf[:, 1, None, None]
+        patch_b = (
+            big[:, :-1, :-1] * (1 - fx) * (1 - fy)
+            + big[:, :-1, 1:] * fx * (1 - fy)
+            + big[:, 1:, :-1] * (1 - fx) * fy
+            + big[:, 1:, 1:] * fx * fy
+        )
         e = patch_b - t
         bx = jnp.sum(ix * e, axis=(1, 2))
         by = jnp.sum(iy * e, axis=(1, 2))
@@ -192,9 +254,12 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int):
         dv = (gxx * by - gxy * bx) / det_safe
         step = jnp.stack([du, dv], axis=-1)
         step = jnp.where(inv_ok[:, None], step, 0.0)
-        return d - step
+        d_new = d_rel - step
+        # keep the iterate inside the resident buffer
+        return jnp.clip(d_new, -(M - 1.0), M - 1.0)
 
-    return jax.lax.fori_loop(0, iters, body, guess)
+    d_rel = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(guess))
+    return guess + d_rel
 
 
 def lk_track(
@@ -253,28 +318,79 @@ def lk_track_video(
     return _lk_track_video_jit(frames, pts, levels, radius, iters)
 
 
-@partial(jax.jit, static_argnames=("levels", "radius", "iters"))
-def _lk_track_video_jit(frames, pts, levels, radius, iters):
-    frames = frames.astype(jnp.float32)
-    # one pyramid + one edge-pad per FRAME (each frame serves 2 pairs)
+def _lk_track_video_core(frames, pts, levels, radius, iters):
+    # one pyramid + (small-level) edge-pad per FRAME (serves 2 pairs)
     pyr = [_pad_level(l, radius) for l in build_pyramid(frames, levels)]
-    pad = radius + 2
     B = frames.shape[0]
     d = jnp.zeros((B - 1,) + pts.shape, jnp.float32)
     for lvl in range(levels - 1, -1, -1):
         scale = jnp.float32(2.0**lvl)
+        imgs, pad = pyr[lvl]
         lk = jax.vmap(
             lambda a, b, g: _lk_level(a, b, pts / scale + pad, g, radius, iters),
             in_axes=(0, 0, 0),
         )
-        d = lk(pyr[lvl][:-1], pyr[lvl][1:], d / scale) * scale
+        d = lk(imgs[:-1], imgs[1:], d / scale) * scale
     return pts[None] + d
 
 
-def _pad_level(img: jnp.ndarray, radius: int) -> jnp.ndarray:
-    pad = radius + 2
+@partial(jax.jit, static_argnames=("levels", "radius", "iters"))
+def _lk_track_video_jit(frames, pts, levels, radius, iters):
+    return _lk_track_video_core(frames, pts, levels, radius, iters)
+
+
+def lk_track_video_chunked(
+    frames: jnp.ndarray,
+    pts: jnp.ndarray,
+    chunk: int = 16,
+    levels: int | None = None,
+    radius: int = LK_RADIUS,
+    iters: int = LK_ITERS,
+) -> jnp.ndarray:
+    """Track (T, H, W) consecutive frames -> (T-1, N, 2) in ONE
+    dispatch: `lax.map` over chunk-sized blocks inside the jit. The
+    remote-dispatch overhead of this environment is ~30 ms per call —
+    per-block dispatching dominates wall-clock for long clips.
+    Requires (T-1) % chunk == 0 (callers pad by repeating the last
+    frame; repeated frames track to zero flow)."""
+    if levels is None:
+        levels = auto_levels(frames.shape[1], frames.shape[2])
+    T = frames.shape[0]
+    if (T - 1) % chunk:
+        raise ValueError(f"(T-1)={T - 1} must be a multiple of chunk={chunk}")
+    return _lk_track_video_chunked_jit(frames, pts, chunk, levels, radius, iters)
+
+
+@partial(jax.jit, static_argnames=("chunk", "levels", "radius", "iters"))
+def _lk_track_video_chunked_jit(frames, pts, chunk, levels, radius, iters):
+    T, H, W = frames.shape
+    n_chunks = (T - 1) // chunk
+    starts = jnp.arange(n_chunks) * chunk
+
+    def one(start):
+        blk = jax.lax.dynamic_slice(frames, (start, 0, 0), (chunk + 1, H, W))
+        return _lk_track_video_core(blk, pts, levels, radius, iters)
+
+    out = jax.lax.map(one, starts)  # (n_chunks, chunk, N, 2)
+    return out.reshape((T - 1,) + pts.shape)
+
+
+#: levels whose min dimension exceeds this skip the edge-pad copy:
+#: copying a padded full-res image would double the pyramid's HBM
+#: traffic, and at fine levels the feature grid's own margin keeps
+#: windows interior (dynamic_slice clamping can then only affect
+#: tracks that wander to the border — absorbed by the robust loss).
+PAD_MAX_DIM = 512
+
+
+def _pad_level(img: jnp.ndarray, radius: int) -> tuple[jnp.ndarray, int]:
+    """Edge-pad small pyramid levels; returns (image, applied_pad).
+    The pad must cover the search-buffer extent (radius + LK_MARGIN)."""
+    if min(img.shape[-2], img.shape[-1]) > PAD_MAX_DIM:
+        return img, 0
+    pad = radius + LK_MARGIN + 2
     cfg = [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)]
-    return jnp.pad(img, cfg, mode="edge")
+    return jnp.pad(img, cfg, mode="edge"), pad
 
 
 @partial(jax.jit, static_argnames=("levels", "radius", "iters"))
@@ -286,17 +402,13 @@ def _lk_track_jit(
     radius: int,
     iters: int,
 ) -> jnp.ndarray:
-    img_a = img_a.astype(jnp.float32)
-    img_b = img_b.astype(jnp.float32)
     pyr_a = [_pad_level(l, radius) for l in build_pyramid(img_a, levels)]
     pyr_b = [_pad_level(l, radius) for l in build_pyramid(img_b, levels)]
-    pad = radius + 2
-    d = jnp.zeros_like(pts)
+    d = jnp.zeros_like(pts, dtype=jnp.float32)
     for lvl in range(levels - 1, -1, -1):
         scale = 2.0**lvl
-        d = _lk_level(
-            pyr_a[lvl], pyr_b[lvl], pts / scale + pad, d / scale, radius, iters
-        ) * scale
+        (a, pad), (b, _) = pyr_a[lvl], pyr_b[lvl]
+        d = _lk_level(a, b, pts / scale + pad, d / scale, radius, iters) * scale
     return pts + d
 
 
