@@ -102,11 +102,15 @@ def main() -> int:
     radius = 0.2
 
     t0 = time.time()
-    c, d = batched_presync(prob.table, wins, delays, jax.random.PRNGKey(1))
+    c, d = batched_presync(
+        prob.table, wins, delays, jax.random.PRNGKey(1), wide=True
+    )
     fetch(d)
     print(f"# presync compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    r = batched_sync(prob.table, wins, d, d, radius, jax.random.PRNGKey(2))
+    r = batched_sync(
+        prob.table, wins, d, d, radius, jax.random.PRNGKey(2), wide=True
+    )
     fetch(r.delay)
     print(f"# sync compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -116,7 +120,7 @@ def main() -> int:
     for rep in range(2):
         t0 = time.time()
         _, best = batched_presync(
-            prob.table, wins, delays, jax.random.PRNGKey(10 + rep)
+            prob.table, wins, delays, jax.random.PRNGKey(10 + rep), wide=True
         )
         fetch(best)
         presync_best = min(presync_best, time.time() - t0)
@@ -124,7 +128,8 @@ def main() -> int:
         cur = best
         for i in range(4):
             res = batched_sync(
-                prob.table, wins, cur, best, radius, jax.random.PRNGKey(20 + 4 * rep + i)
+                prob.table, wins, cur, best, radius,
+                jax.random.PRNGKey(20 + 4 * rep + i), wide=True,
             )
             cur = res.delay
         fetch(cur)

@@ -238,9 +238,22 @@ class SyncProblem:
             delays.append(d)
             d += search_step
         delays_j = jnp.asarray(np.asarray(delays), self._dtype)
-        costs = presync_mod.presync_scan(table, win, delays_j, self._next_key())
+        costs = presync_mod.presync_scan(
+            table, win, delays_j, self._next_key(),
+            wide=self._wide_ok(search_radius),
+        )
         cost, delay = presync_mod.presync_best(costs, delays_j)
         return float(cost), float(delay)
+
+    def _wide_ok(self, radius: float) -> bool:
+        """Whether the delay swing fits the wide-band fast path
+        (see core/problem.py WIDE_SMAX)."""
+        from rssync_tpu.core.problem import WIDE_SMAX
+
+        return (
+            np.isfinite(radius)
+            and radius * self._sample_rate <= WIDE_SMAX - 6
+        )
 
     def sync(
         self,
@@ -262,6 +275,7 @@ class SyncProblem:
             jnp.asarray(center, self._dtype),
             jnp.asarray(search_radius, self._dtype),
             self._next_key(),
+            wide=self._wide_ok(search_radius),
         )
         return float(res.cost), float(res.delay)
 
@@ -284,7 +298,10 @@ class SyncProblem:
             point_count - 1
         )
         delays_j = jnp.asarray(delays, self._dtype)
-        costs = presync_mod.presync_scan(table, win, delays_j, self._next_key())
+        costs = presync_mod.presync_scan(
+            table, win, delays_j, self._next_key(),
+            wide=self._wide_ok(search_radius),
+        )
         return delays, np.asarray(costs, np.float64)
 
     # -- reference-exact aliases -------------------------------------------

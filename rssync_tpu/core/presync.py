@@ -11,6 +11,8 @@ features intermediates) while each chunk still saturates the chip.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -21,8 +23,10 @@ from rssync_tpu.ops.robust import clamp_k
 #: RANSAC hypothesis count inside the coarse cost (ref :77).
 PRESYNC_RANSAC_ITERS = 20
 
-#: delay-grid points evaluated concurrently per lax.map step.
-DELAY_CHUNK = 16
+#: delay-grid points evaluated concurrently per lax.map step (peak HBM
+#: ~ chunk x windows x frames x features intermediates; 32 keeps the
+#: reference operating point under ~1 GB while halving sequential steps)
+DELAY_CHUNK = 32
 
 
 def cost_with_motion(P: jnp.ndarray, M: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
@@ -46,13 +50,14 @@ def cost_with_motion(P: jnp.ndarray, M: jnp.ndarray, frame_mask: jnp.ndarray) ->
 
 
 def window_cost(
-    table: SplineTable, win: TrackWindow, delay, key: jax.Array
+    table: SplineTable, win: TrackWindow, delay, key: jax.Array,
+    bands=None,
 ) -> jnp.ndarray:
     """Approximate sync cost of one window at one delay
     (ref core_private.cpp:73-86): per-frame 20-hypothesis RANSAC
     motion, then the robust cost above."""
     F = win.num_frames
-    P = compute_problem(table, win, delay)  # (3, F, N)
+    P = compute_problem(table, win, delay, bands)  # (3, F, N)
     keys = jax.random.split(key, F)
     M = jax.vmap(
         lambda p, c, k: guess_motion(p, c, k, PRESYNC_RANSAC_ITERS),
@@ -61,19 +66,30 @@ def window_cost(
     return cost_with_motion(P, M, win.frame_mask)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("wide",))
 def presync_scan(
     table: SplineTable,
     win: TrackWindow,
     delays: jnp.ndarray,
     key: jax.Array,
+    wide: bool = False,
 ) -> jnp.ndarray:
     """Costs for every delay in `delays` — the whole grid in chunked
     vmapped launches (ref's sequential loop at core_private.cpp:69-87).
     Fresh RANSAC draws per (delay, frame), like the reference's
     per-task thread-local RNG, but keyed. Handles any grid length by
-    padding to a multiple of DELAY_CHUNK."""
+    padding to a multiple of DELAY_CHUNK.
+
+    wide=True (callers must ensure the grid spans at most
+    +-WIDE_SMAX knots around its center) extracts per-frame wide
+    coefficient slabs once instead of per (delay, frame)."""
+    from rssync_tpu.core.problem import make_wide_bands
+
     D = delays.shape[0]
+    bands = None
+    if wide:
+        center = 0.5 * (jnp.min(delays) + jnp.max(delays))
+        bands = make_wide_bands(table, win, center)
     pad = (-D) % DELAY_CHUNK
     delays_p = jnp.pad(delays, (0, pad))
     keys = jax.random.split(key, delays_p.shape[0])
@@ -82,7 +98,7 @@ def presync_scan(
 
     def one_chunk(args):
         ds, ks = args
-        return jax.vmap(lambda d, k: window_cost(table, win, d, k))(ds, ks)
+        return jax.vmap(lambda d, k: window_cost(table, win, d, k, bands))(ds, ks)
 
     costs = jax.lax.map(one_chunk, (chunks, kchunks)).reshape(-1)
     return costs[:D]

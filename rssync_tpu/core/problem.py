@@ -46,17 +46,35 @@ class SplineTable:
     coeffs: (16, n_knots) packed per ops/spline.py::pack_table — rows
     4c + r = coefficient c (y, b, c, d) of quaternion row r (w,x,y,z),
     knots along the last axis (gather-friendly).
+    coeffs_padded: (16, n_knots + 2*WIDE_PAD) — the same table with
+    WIDE_PAD edge-replicated columns on both ends, so wide-band slices
+    never clamp (replication reproduces the clamped-gather boundary
+    semantics exactly; the quadratic extrapolation branches key on the
+    unclamped index).
     sample_rate: () f32 — knots per second.
     """
 
     coeffs: jnp.ndarray
+    coeffs_padded: jnp.ndarray
     sample_rate: jnp.ndarray
+
+    @property
+    def n_knots(self) -> int:
+        return self.coeffs.shape[-1]
 
 
 #: knot-band width for the per-frame spline slice (see compute_problem):
 #: covers rolling-shutter spans up to BAND-4 knots, i.e. readout_time *
 #: gyro_rate <= 12 (a GoPro at 200 Hz uses ~2.2).
 BAND = 16
+
+#: wide-band machinery (see make_wide_bands): per-frame WIDE-knot slabs
+#: extracted ONCE per engine call; each delay then takes a single
+#: BAND-wide sub-slice at a frame-independent offset. Valid while
+#: |delay - center| * sample_rate <= WIDE_SMAX.
+WIDE = 128
+WIDE_PAD = 128  # edge-replicated columns padded onto each table end
+WIDE_SMAX = (WIDE - BAND - 6) // 2  # 53 knots of delay swing
 
 
 @jax.tree_util.register_dataclass
@@ -104,8 +122,18 @@ def make_spline_table(
     """
     quats = np.asarray(quats, dtype=np.float64)
     coeffs = fit_natural_cubic(quats.T)  # (n, 4, 4)
+    packed = pack_table(coeffs)  # (16, n)
+    padded = np.concatenate(
+        [
+            np.repeat(packed[:, :1], WIDE_PAD, axis=1),
+            packed,
+            np.repeat(packed[:, -1:], WIDE_PAD, axis=1),
+        ],
+        axis=1,
+    )
     return SplineTable(
-        coeffs=jnp.asarray(pack_table(coeffs), dtype=dtype),
+        coeffs=jnp.asarray(packed, dtype=dtype),
+        coeffs_padded=jnp.asarray(padded, dtype=dtype),
         sample_rate=jnp.asarray(sample_rate, dtype=dtype),
     )
 
@@ -233,46 +261,62 @@ def dot_soa(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=0)
 
 
-def _banded_quats(
-    coeffs: jnp.ndarray, i0: jnp.ndarray, f0: jnp.ndarray,
-    base: jnp.ndarray, shift,
-) -> jnp.ndarray:
-    """Spline-evaluate quaternions for one side of a window WITHOUT
-    per-ray gathers.
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class WideBands:
+    """Per-frame WIDE-knot coefficient slabs for one window, extracted
+    once per engine call (see make_wide_bands)."""
 
-    Per-element gathers run ~100M elem/s on TPU — they made PreSync
-    ~100x slower than this path. Within a frame the knot indices span
-    at most the rolling-shutter readout (~2-3 knots), so one
-    `dynamic_slice` per frame fetches a BAND-knot coefficient slab and
-    each ray selects its 16 coefficients with fused VPU compares
-    (BAND x 16 multiply-adds, no memory traffic).
+    band_a: jnp.ndarray   # (F, 16, WIDE)
+    band_b: jnp.ndarray
+    start_a: jnp.ndarray  # (F,) slab origin in unpadded knot coords
+    start_b: jnp.ndarray
+    center_floor: jnp.ndarray  # () int32, floor(center_delay * rate)
 
-    coeffs: (16, n); i0/f0: (F, N); base: (F,) per-frame min i0;
-    shift: scalar delay * sample_rate. Returns (4, F, N) quat rows.
-    Boundary semantics identical to ops.spline.eval_spline_packed.
+
+def make_wide_bands(table: SplineTable, win: TrackWindow, center_delay) -> WideBands:
+    """Extract per-frame coefficient slabs centered on `center_delay`.
+
+    Rationale: the narrow banded eval re-slices a BAND-knot slab per
+    (delay, frame) — at PreSync scale that is ~70k dynamic-slice ops
+    per call at ~1.5 us each, the dominant cost. These slabs are wide
+    enough for every delay within |delay - center| * rate <= WIDE_SMAX,
+    so each delay evaluation needs only ONE slab sub-slice at a
+    frame-independent offset. Slices come from the edge-padded table
+    so per-frame starts never clamp (clamping would break the
+    frame-independence of the offset).
     """
-    n = coeffs.shape[1]
-    p = f0 + shift
-    pf = jnp.floor(p)
-    xi = i0 + pf.astype(jnp.int32)
-    h_in = p - pf
+    cf = jnp.floor(center_delay * table.sample_rate).astype(jnp.int32)
 
-    sfloor = jnp.floor(shift).astype(jnp.int32)
-    band_start = jnp.clip(base + sfloor - 1, 0, n - BAND)  # (F,)
-    band = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(coeffs, (0, s), (16, BAND))
-    )(band_start)  # (F, 16, BAND)
+    def side(base):
+        start_p = base + WIDE_PAD - 1 - WIDE_SMAX + cf  # padded coords
+        band = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(
+                table.coeffs_padded, (0, s), (16, WIDE)
+            )
+        )(start_p)
+        return band, start_p - WIDE_PAD  # origin in unpadded coords
 
+    band_a, start_a = side(win.base_a)
+    band_b, start_b = side(win.base_b)
+    return WideBands(band_a, band_b, start_a, start_b, cf)
+
+
+def _select_and_horner(sub, sub_start, xi, h_in, n):
+    """Shared banded-eval core: per-ray coefficient select from a
+    (F, 16, BAND) slab + Horner + boundary branches.
+
+    Per-element gathers run ~100M elem/s on TPU, so each ray selects
+    its 16 coefficients with fused VPU compares (BAND x 16 FMAs, no
+    memory traffic). Boundary semantics identical to
+    ops.spline.eval_spline_packed."""
     idx = jnp.clip(xi, 0, n - 1)
-    rel = jnp.clip(idx - band_start[..., None], 0, BAND - 1)  # (F, N)
-
-    # gather-free coefficient select: sum over the band of
-    # (rel == j) * band[:, c, j]; 16*BAND fused FMAs per ray on the VPU
+    rel = jnp.clip(idx - sub_start[..., None], 0, BAND - 1)  # (F, N)
     coefs = []
     for c in range(16):
         acc = jnp.zeros_like(h_in)
         for j in range(BAND):
-            acc = acc + jnp.where(rel == j, band[:, c, j][..., None], 0.0)
+            acc = acc + jnp.where(rel == j, sub[:, c, j][..., None], 0.0)
         coefs.append(acc)
     yk = jnp.stack(coefs[0:4])
     bk = jnp.stack(coefs[4:8])
@@ -289,8 +333,54 @@ def _banded_quats(
     return jnp.where((below | above)[None], quad, cubic)
 
 
+def _banded_quats(
+    coeffs: jnp.ndarray, i0: jnp.ndarray, f0: jnp.ndarray,
+    base: jnp.ndarray, shift,
+) -> jnp.ndarray:
+    """Narrow banded eval (fallback when no WideBands are available,
+    e.g. unbounded delay search): one BAND-knot dynamic_slice per
+    frame per call. coeffs: (16, n); i0/f0: (F, N); base: (F,)
+    per-frame min i0; shift: scalar delay * sample_rate.
+    Returns (4, F, N) quat rows."""
+    n = coeffs.shape[1]
+    p = f0 + shift
+    pf = jnp.floor(p)
+    xi = i0 + pf.astype(jnp.int32)
+    h_in = p - pf
+
+    sfloor = jnp.floor(shift).astype(jnp.int32)
+    band_start = jnp.clip(base + sfloor - 1, 0, n - BAND)  # (F,)
+    band = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(coeffs, (0, s), (16, BAND))
+    )(band_start)  # (F, 16, BAND)
+    return _select_and_horner(band, band_start, xi, h_in, n)
+
+
+def _wide_quats(
+    table: SplineTable, bands_side, start_side, center_floor,
+    i0, f0, shift,
+) -> jnp.ndarray:
+    """Wide-band eval: ONE sub-slice of the pre-extracted slabs per
+    delay (frame-independent offset)."""
+    n = table.n_knots
+    F = bands_side.shape[0]
+    p = f0 + shift
+    pf = jnp.floor(p)
+    xi = i0 + pf.astype(jnp.int32)
+    h_in = p - pf
+
+    sfloor = jnp.floor(shift).astype(jnp.int32)
+    sub_off = jnp.clip(sfloor - center_floor + WIDE_SMAX, 0, WIDE - BAND)
+    sub = jax.lax.dynamic_slice(
+        bands_side, (0, 0, sub_off), (F, 16, BAND)
+    )
+    sub_start = start_side + sub_off  # (F,)
+    return _select_and_horner(sub, sub_start, xi, h_in, n)
+
+
 def compute_problem(
-    table: SplineTable, win: TrackWindow, gyro_delay
+    table: SplineTable, win: TrackWindow, gyro_delay,
+    bands: WideBands | None = None,
 ) -> jnp.ndarray:
     """Epipolar residual rows for every (frame, feature) at one delay.
 
@@ -300,14 +390,25 @@ def compute_problem(
     the correct delay (ref: src/core/core_private.cpp:15-32). Padded
     entries are zeroed.
 
-    Fully batched and gather-free: banded spline eval (see
-    _banded_quats), quaternion normalize/rotate as scalar-component
-    VPU math, one cross product. vmap-able over leading delay/window
-    axes.
+    Fully batched and gather-free: banded spline eval (wide-band slabs
+    when `bands` is given — callers must guarantee
+    |delay - bands.center| * rate <= WIDE_SMAX), quaternion
+    normalize/rotate as scalar-component VPU math, one cross product.
+    vmap-able over leading delay/window axes.
     """
     shift = gyro_delay * table.sample_rate
-    q_a = _banded_quats(table.coeffs, win.i0_a, win.f0_a, win.base_a, shift)
-    q_b = _banded_quats(table.coeffs, win.i0_b, win.f0_b, win.base_b, shift)
+    if bands is None:
+        q_a = _banded_quats(table.coeffs, win.i0_a, win.f0_a, win.base_a, shift)
+        q_b = _banded_quats(table.coeffs, win.i0_b, win.f0_b, win.base_b, shift)
+    else:
+        q_a = _wide_quats(
+            table, bands.band_a, bands.start_a, bands.center_floor,
+            win.i0_a, win.f0_a, shift,
+        )
+        q_b = _wide_quats(
+            table, bands.band_b, bands.start_b, bands.center_floor,
+            win.i0_b, win.f0_b, shift,
+        )
     q_a = q_a * jax.lax.rsqrt(jnp.maximum(dot_soa(q_a, q_a), 1e-30))
     q_b = q_b * jax.lax.rsqrt(jnp.maximum(dot_soa(q_b, q_b), 1e-30))
     ar = _conj_rotate_soa(q_a, win.rays_a)

@@ -70,12 +70,12 @@ def frame_loss(P_f: jnp.ndarray, M_f: jnp.ndarray, var_k_f) -> jnp.ndarray:
 
 def window_loss(
     table: SplineTable, win: TrackWindow, delay, M: jnp.ndarray,
-    var_k: jnp.ndarray,
+    var_k: jnp.ndarray, bands=None,
 ) -> jnp.ndarray:
     """Sum of frame losses over the window at one delay (the parallel
     reduction of ref :242-254). Computed whole-window in SoA (no
     per-frame vmap needed)."""
-    P = compute_problem(table, win, delay)  # (3, F, N)
+    P = compute_problem(table, win, delay, bands)  # (3, F, N)
     PM = jnp.einsum("cfn,fc->fn", P, M)
     M2 = jnp.maximum(jnp.sum(M * M, axis=-1), 1e-12)  # (F,)
     losses = jnp.sum(
@@ -262,11 +262,12 @@ class SyncResult(NamedTuple):
 
 
 def init_motion(
-    table: SplineTable, win: TrackWindow, delay, key: jax.Array
+    table: SplineTable, win: TrackWindow, delay, key: jax.Array,
+    bands=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """GuessMotion (200 RANSAC iters) + GuessK per frame at `delay`
     (ref :218-223, :125-133). Returns (M (F,3), var_k (F,))."""
-    P = compute_problem(table, win, delay)  # (3, F, N)
+    P = compute_problem(table, win, delay, bands)  # (3, F, N)
     keys = jax.random.split(key, win.num_frames)
     M = jax.vmap(
         lambda p, c, k: guess_motion(p, c, k, SYNC_RANSAC_ITERS),
@@ -277,7 +278,7 @@ def init_motion(
     return M, var_k
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("wide",))
 def sync_window(
     table: SplineTable,
     win: TrackWindow,
@@ -285,19 +286,27 @@ def sync_window(
     search_center,
     search_radius,
     key: jax.Array,
+    wide: bool = False,
 ) -> SyncResult:
     """Full Sync of one window (ref core_private.cpp:211-334).
 
     Returns (final simple-objective cost, final delay, outer
     iterations executed). vmap over a leading window axis for batched
     multi-syncpoint sync.
+
+    wide=True (callers must ensure search_center +- search_radius
+    stays within WIDE_SMAX knots) uses pre-extracted wide coefficient
+    slabs so delay evaluations avoid per-frame band slicing.
     """
+    from rssync_tpu.core.problem import make_wide_bands
+
     dtype = win.f0_a.dtype
     delay0 = jnp.asarray(initial_delay, dtype)
-    M0, var_k = init_motion(table, win, delay0, key)
+    bands = make_wide_bands(table, win, search_center) if wide else None
+    M0, var_k = init_motion(table, win, delay0, key, bands)
 
     def delay_loss(delay, M):
-        return window_loss(table, win, delay, M, var_k)
+        return window_loss(table, win, delay, M, var_k, bands)
 
     delay_vg = jax.value_and_grad(delay_loss, argnums=0)
 
@@ -321,7 +330,7 @@ def sync_window(
     def body(state):
         i, delay, v, M, cc, done = state
         # 1. motion refinement at current delay (P hoisted)
-        P = compute_problem(table, win, delay)
+        P = compute_problem(table, win, delay, bands)
         M = batched_lbfgs(motion_value_and_grad(P), M)
         # 2. Nesterov-lookahead backtracked delay step (ref :298-305)
         x0 = delay - DELAY_MOMENTUM * v

@@ -11,7 +11,7 @@ freeze while the rest continue; XLA runs until all are done).
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
+from typing import Sequence  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -55,12 +55,13 @@ def stack_windows(windows: Sequence[TrackWindow]) -> TrackWindow:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("wide",))
 def batched_presync(
     table: SplineTable,
     wins: TrackWindow,
     delays: jnp.ndarray,
     key: jax.Array,
+    wide: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """All windows x all delay-grid points.
 
@@ -74,9 +75,14 @@ def batched_presync(
     fills the chip.
     """
     from rssync_tpu.core.presync import DELAY_CHUNK
+    from rssync_tpu.core.problem import make_wide_bands
 
     W = wins.frame_mask.shape[0]
     D = delays.shape[0]
+    bands = None
+    if wide:
+        center = 0.5 * (jnp.min(delays) + jnp.max(delays))
+        bands = jax.vmap(lambda w: make_wide_bands(table, w, center))(wins)
     pad = (-D) % DELAY_CHUNK
     delays_p = jnp.pad(delays, (0, pad), constant_values=jnp.inf)
     Dp = delays_p.shape[0]
@@ -86,11 +92,15 @@ def batched_presync(
 
     def one_chunk(args):
         ds, ks = args  # (K,), (K, W, 2)
-        return jax.vmap(
-            lambda d, kk: jax.vmap(
+        if bands is None:
+            per_win = lambda d, kk: jax.vmap(
                 lambda win, k: window_cost(table, win, d, k)
             )(wins, kk)
-        )(ds, ks)  # (K, W)
+        else:
+            per_win = lambda d, kk: jax.vmap(
+                lambda win, k, b: window_cost(table, win, d, k, b)
+            )(wins, kk, bands)
+        return jax.vmap(per_win)(ds, ks)  # (K, W)
 
     costs = jax.lax.map(one_chunk, (chunks, kchunks)).reshape(Dp, W)
     costs = jnp.where(jnp.isfinite(delays_p)[:, None], costs, jnp.inf)
@@ -98,7 +108,7 @@ def batched_presync(
     return jnp.take_along_axis(costs, i[None], axis=0)[0], delays_p[i]
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("wide",))
 def batched_sync(
     table: SplineTable,
     wins: TrackWindow,
@@ -106,12 +116,13 @@ def batched_sync(
     search_centers: jnp.ndarray,
     search_radius,
     key: jax.Array,
+    wide: bool = False,
 ) -> SyncResult:
     """vmapped fine Sync over the window axis. initial_delays,
-    search_centers: (W,)."""
+    search_centers: (W,). wide: see core/sync.py::sync_window."""
     W = wins.frame_mask.shape[0]
     keys = jax.random.split(key, W)
     radius = jnp.broadcast_to(jnp.asarray(search_radius, initial_delays.dtype), (W,))
     return jax.vmap(
-        lambda w, d0, c, r, k: sync_window(table, w, d0, c, r, k)
+        lambda w, d0, c, r, k: sync_window(table, w, d0, c, r, k, wide=wide)
     )(wins, initial_delays, search_centers, radius, keys)

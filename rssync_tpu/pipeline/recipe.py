@@ -220,12 +220,16 @@ def _run_batched(
             grid.append(d)
             d += presync_step_ms / 1000.0
         _, delays = batched_presync(
-            table, open_wins, jnp.asarray(np.asarray(grid), dtype), sp.next_key()
+            table, open_wins, jnp.asarray(np.asarray(grid), dtype), sp.next_key(),
+            wide=sp._wide_ok(radius),
         )
     centers = jnp.full((W,), initial_delay, dtype)
+    wide = sp._wide_ok(radius)
     for i in range(SYNC_PASSES):
         if progress:
             print(f"sync pass {i}", flush=True)
-        res = batched_sync(table, closed_wins, delays, centers, radius, sp.next_key())
+        res = batched_sync(
+            table, closed_wins, delays, centers, radius, sp.next_key(), wide=wide
+        )
         delays = res.delay
     return [1000.0 * float(d) for d in np.asarray(delays, np.float64)]
