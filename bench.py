@@ -62,7 +62,7 @@ def main() -> int:
     frames = jax.random.randint(k0, (seg + 1, H, W), 0, 255, jnp.uint8)
     fetch(frames)
     t0 = time.time()
-    fetch(lk_track_video_chunked(frames, pts, chunk=16))
+    fetch(lk_track_video_chunked(frames, chunk=16, grid_step=200))
     print(f"# lk compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
     n_disp = (n_pairs_total + seg - 1) // seg  # 15 dispatches / clip
@@ -72,7 +72,9 @@ def main() -> int:
         fetch(biases)
         t0 = time.time()
         outs = [
-            lk_track_video_chunked(frames + biases[i], pts, chunk=16)
+            lk_track_video_chunked(
+                frames + biases[i], chunk=16, grid_step=200
+            )
             for i in range(n_disp)
         ]
         for o in outs:

@@ -170,12 +170,87 @@ def _bilinear_patches(img: jnp.ndarray, centers: jnp.ndarray, radius: int) -> jn
 
 #: search-buffer margin: LK iterations may move the displacement up to
 #: +-(MARGIN-1) px away from the incoming guess within one level.
-#: Coarse-to-fine guesses are within a few px; the coarsest level
-#: starts at 0 and its capacity is bounded by this margin.
+#: Coarse-to-fine guesses are within a few px, so interior levels use
+#: LK_MARGIN_FINE; the coarsest level starts from guess 0 and gets the
+#: full LK_MARGIN (its margin bounds total displacement capacity).
 LK_MARGIN = 8
+LK_MARGIN_FINE = 4
 
 
-def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int):
+def _level_schedule(lvl: int, levels: int, iters: int) -> tuple[int, int]:
+    """(iterations, margin) per pyramid level: full iterations at the
+    finest level (subpixel accuracy) and at the coarsest (it pulls the
+    track in from a zero guess across the full margin); intermediate
+    levels only need to land within ~1 px for the next level's margin."""
+    margin = LK_MARGIN if lvl == levels - 1 else LK_MARGIN_FINE
+    if lvl == 0 or lvl == levels - 1:
+        return iters, margin
+    if lvl == 1:
+        return max(1, min(iters, 6)), margin
+    return max(1, min(iters, 4)), margin
+
+
+def _static_template_patches(imgs, pts_level_np, radius: int):
+    """Template patches for a STATIC feature grid, gather-free.
+
+    imgs: (B, Hp, Wp) one (padded) pyramid level for the B `img_a`
+    frames. pts_level_np: (N, 2) numpy — compile-time constants on a
+    full rectangular grid (Gx distinct x, Gy distinct y, x-major
+    order). Returns (B, N, 2r+3, 2r+3) f32, numerically identical to
+    `_bilinear_patches(imgs[b], pts_level, radius + 1)`.
+
+    Because origins are static, extraction needs NO per-point dynamic
+    slices (~3 us each on TPU): rows come from Gy static strip slices,
+    columns from one constant one-hot matmul on the MXU, and the
+    bilinear blend uses per-column/per-row constant fractions.
+    """
+    B, Hp, Wp = imgs.shape
+    w2 = 2 * (radius + 1) + 1  # blended patch side
+    S_t = w2 + 1  # superset side for the 4-tap blend
+
+    start = np.asarray(pts_level_np, np.float64) - (radius + 1)
+    base = np.floor(start).astype(np.int64)
+    frac = (start - base).astype(np.float32)  # (N, 2)
+
+    xs = np.unique(base[:, 0])
+    ys = np.unique(base[:, 1])
+    Gx, Gy = len(xs), len(ys)
+    if Gx * Gy != len(base):
+        raise ValueError("static template grid must be rectangular")
+    # x-major point order check: n = ix * Gy + iy
+    expect = np.stack(
+        [np.repeat(xs, Gy), np.tile(ys, Gx)], axis=1
+    )
+    if not np.array_equal(base, expect):
+        raise ValueError("static template grid must be x-major ordered")
+
+    ys_c = np.clip(ys, 0, Hp - S_t)
+    xs_c = np.clip(xs, 0, Wp - S_t)
+
+    strips = jnp.concatenate(
+        [imgs[:, oy : oy + S_t, :] for oy in ys_c], axis=1
+    ).astype(jnp.float32)  # (B, Gy*S_t, Wp)
+    # constant one-hot column selector
+    C = np.zeros((Wp, Gx * S_t), np.float32)
+    for g, ox in enumerate(xs_c):
+        for j in range(S_t):
+            C[ox + j, g * S_t + j] = 1.0
+    big = strips @ jnp.asarray(C)  # (B, Gy*S_t, Gx*S_t)
+    big = big.reshape(B, Gy, S_t, Gx, S_t)
+    big = jnp.transpose(big, (0, 3, 1, 2, 4)).reshape(B, Gx * Gy, S_t, S_t)
+
+    fx = jnp.asarray(frac[:, 0])[None, :, None, None]
+    fy = jnp.asarray(frac[:, 1])[None, :, None, None]
+    return (
+        big[:, :, :-1, :-1] * (1 - fx) * (1 - fy)
+        + big[:, :, :-1, 1:] * fx * (1 - fy)
+        + big[:, :, 1:, :-1] * (1 - fx) * fy
+        + big[:, :, 1:, 1:] * fx * fy
+    )
+
+
+def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
+              template=None, margin: int = LK_MARGIN):
     """One pyramid level of iterative LK for all points.
 
     img_a/img_b must be EDGE-PADDED per _pad_level and pts_level offset
@@ -192,8 +267,13 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int):
     extract-per-iteration design was ~6x more expensive.
     """
     w = 2 * radius + 1
-    # template patch + gradients from image A (fixed over iterations)
-    patch_a = _bilinear_patches(img_a, pts_level, radius + 1)  # (N, w+2, w+2)
+    # template patch + gradients from image A (fixed over iterations);
+    # precomputed gather-free for static grids (template=...)
+    patch_a = (
+        template
+        if template is not None
+        else _bilinear_patches(img_a, pts_level, radius + 1)
+    )  # (N, w+2, w+2)
     ix = 0.5 * (patch_a[:, 1:-1, 2:] - patch_a[:, 1:-1, :-2])
     iy = 0.5 * (patch_a[:, 2:, 1:-1] - patch_a[:, :-2, 1:-1])
     t = patch_a[:, 1:-1, 1:-1]
@@ -206,8 +286,8 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int):
 
     # resident search buffer around the incoming guess:
     # buf[n, k, l] = img_b[oy + k, ox + l] with (ox, oy) =
-    # floor(pts + guess) - radius - MARGIN
-    M = LK_MARGIN
+    # floor(pts + guess) - radius - margin
+    M = margin
     S = w + 2 * M + 2
     anchor = jnp.floor(pts_level + guess)  # (N, 2) int-valued
     origin = anchor - (radius + M)
@@ -303,22 +383,41 @@ def _lk_track_pairs_jit(imgs_a, imgs_b, pts, levels, radius, iters):
 
 def lk_track_video(
     frames: jnp.ndarray,
-    pts: jnp.ndarray,
+    pts: jnp.ndarray | None = None,
     levels: int | None = None,
     radius: int = LK_RADIUS,
     iters: int = LK_ITERS,
+    grid_step: int | None = None,
 ) -> jnp.ndarray:
     """Track the shared grid across all consecutive pairs of a frame
     block: (B, H, W) -> (B-1, N, 2). Each frame's pyramid is built
     once (the pair-wise API rebuilds interior frames' pyramids twice —
     pyramid construction dominates tracking HBM traffic). u8 input is
-    converted on device (4x less host->device transfer)."""
+    converted on device (4x less host->device transfer).
+
+    pts=None uses the reference feature grid (grid_step; auto from the
+    resolution) as a COMPILE-TIME constant, enabling the gather-free
+    static template extraction; an explicit pts array takes the
+    dynamic path."""
     if levels is None:
         levels = auto_levels(frames.shape[1], frames.shape[2])
+    if pts is None:
+        step = grid_step or auto_grid_step(frames.shape[2])
+        grid = (frames.shape[2], frames.shape[1], step)
+        return _lk_track_video_static_jit(frames, grid, levels, radius, iters)
     return _lk_track_video_jit(frames, pts, levels, radius, iters)
 
 
-def _lk_track_video_core(frames, pts, levels, radius, iters):
+@partial(jax.jit, static_argnames=("grid", "levels", "radius", "iters"))
+def _lk_track_video_static_jit(frames, grid, levels, radius, iters):
+    static_pts = grid_points(*grid)
+    pts = jnp.asarray(static_pts, jnp.float32)
+    return _lk_track_video_core(
+        frames, pts, levels, radius, iters, static_pts=static_pts
+    )
+
+
+def _lk_track_video_core(frames, pts, levels, radius, iters, static_pts=None):
     # one pyramid + (small-level) edge-pad per FRAME (serves 2 pairs)
     pyr = [_pad_level(l, radius) for l in build_pyramid(frames, levels)]
     B = frames.shape[0]
@@ -326,11 +425,32 @@ def _lk_track_video_core(frames, pts, levels, radius, iters):
     for lvl in range(levels - 1, -1, -1):
         scale = jnp.float32(2.0**lvl)
         imgs, pad = pyr[lvl]
-        lk = jax.vmap(
-            lambda a, b, g: _lk_level(a, b, pts / scale + pad, g, radius, iters),
-            in_axes=(0, 0, 0),
-        )
-        d = lk(imgs[:-1], imgs[1:], d / scale) * scale
+        it_l, m_l = _level_schedule(lvl, levels, iters)
+        templates = None
+        if static_pts is not None:
+            # gather-free template extraction for compile-time grids
+            try:
+                templates = _static_template_patches(
+                    imgs[:-1], static_pts / (2.0**lvl) + pad, radius
+                )
+            except ValueError:
+                templates = None
+        if templates is None:
+            lk = jax.vmap(
+                lambda a, b, g: _lk_level(
+                    a, b, pts / scale + pad, g, radius, it_l, margin=m_l
+                ),
+                in_axes=(0, 0, 0),
+            )
+            d = lk(imgs[:-1], imgs[1:], d / scale) * scale
+        else:
+            lk = jax.vmap(
+                lambda a, b, g, t: _lk_level(
+                    a, b, pts / scale + pad, g, radius, it_l, t, margin=m_l
+                ),
+                in_axes=(0, 0, 0, 0),
+            )
+            d = lk(imgs[:-1], imgs[1:], d / scale, templates) * scale
     return pts[None] + d
 
 
@@ -341,38 +461,53 @@ def _lk_track_video_jit(frames, pts, levels, radius, iters):
 
 def lk_track_video_chunked(
     frames: jnp.ndarray,
-    pts: jnp.ndarray,
+    pts: jnp.ndarray | None = None,
     chunk: int = 16,
     levels: int | None = None,
     radius: int = LK_RADIUS,
     iters: int = LK_ITERS,
+    grid_step: int | None = None,
 ) -> jnp.ndarray:
     """Track (T, H, W) consecutive frames -> (T-1, N, 2) in ONE
     dispatch: `lax.map` over chunk-sized blocks inside the jit. The
     remote-dispatch overhead of this environment is ~30 ms per call —
     per-block dispatching dominates wall-clock for long clips.
     Requires (T-1) % chunk == 0 (callers pad by repeating the last
-    frame; repeated frames track to zero flow)."""
+    frame; repeated frames track to zero flow). pts=None: static-grid
+    fast path (see lk_track_video)."""
     if levels is None:
         levels = auto_levels(frames.shape[1], frames.shape[2])
     T = frames.shape[0]
     if (T - 1) % chunk:
         raise ValueError(f"(T-1)={T - 1} must be a multiple of chunk={chunk}")
-    return _lk_track_video_chunked_jit(frames, pts, chunk, levels, radius, iters)
+    if pts is None:
+        step = grid_step or auto_grid_step(frames.shape[2])
+        grid = (frames.shape[2], frames.shape[1], step)
+        return _lk_track_video_chunked_jit(
+            frames, None, chunk, levels, radius, iters, grid
+        )
+    return _lk_track_video_chunked_jit(
+        frames, pts, chunk, levels, radius, iters, None
+    )
 
 
-@partial(jax.jit, static_argnames=("chunk", "levels", "radius", "iters"))
-def _lk_track_video_chunked_jit(frames, pts, chunk, levels, radius, iters):
+@partial(jax.jit, static_argnames=("chunk", "levels", "radius", "iters", "grid"))
+def _lk_track_video_chunked_jit(frames, pts, chunk, levels, radius, iters, grid=None):
     T, H, W = frames.shape
     n_chunks = (T - 1) // chunk
     starts = jnp.arange(n_chunks) * chunk
+    static_pts = grid_points(*grid) if grid is not None else None
+    if pts is None:
+        pts = jnp.asarray(static_pts, jnp.float32)
 
     def one(start):
         blk = jax.lax.dynamic_slice(frames, (start, 0, 0), (chunk + 1, H, W))
-        return _lk_track_video_core(blk, pts, levels, radius, iters)
+        return _lk_track_video_core(
+            blk, pts, levels, radius, iters, static_pts=static_pts
+        )
 
     out = jax.lax.map(one, starts)  # (n_chunks, chunk, N, 2)
-    return out.reshape((T - 1,) + pts.shape)
+    return out.reshape(T - 1, pts.shape[0], 2)
 
 
 #: levels whose min dimension exceeds this skip the edge-pad copy:
@@ -408,7 +543,10 @@ def _lk_track_jit(
     for lvl in range(levels - 1, -1, -1):
         scale = 2.0**lvl
         (a, pad), (b, _) = pyr_a[lvl], pyr_b[lvl]
-        d = _lk_level(a, b, pts / scale + pad, d / scale, radius, iters) * scale
+        it_l, m_l = _level_schedule(lvl, levels, iters)
+        d = _lk_level(
+            a, b, pts / scale + pad, d / scale, radius, it_l, margin=m_l
+        ) * scale
     return pts + d
 
 
@@ -568,7 +706,11 @@ def track_frames(
                 flush=True,
             )
         stack = jnp.asarray(np.stack([f.gray for f in frames]))  # u8 on device
-        tracked_all = np.asarray(lk_track_video(stack, pts_j))
+        tracked_all = np.asarray(
+            lk_track_video(
+                stack, grid_step=grid_step or auto_grid_step(src.width)
+            )
+        )
         for i in range(len(frames) - 1):
             emit(
                 frames[i].index,

@@ -85,6 +85,25 @@ def test_lk_matches_cv2_dis_on_rotation(rng):
     assert np.median(err) < 0.3
 
 
+def test_static_grid_path_matches_dynamic(rng):
+    """lk_track_video with pts=None (static-grid gather-free template
+    extraction) must match the dynamic-pts path exactly."""
+    import jax.numpy as jnp
+
+    frames = np.stack(
+        [_texture_image(rng, 240, 320) for _ in range(4)]
+    ).astype(np.float32)
+    step = 60
+    pts = tracking.grid_points(320, 240, step)
+    dyn = np.asarray(
+        tracking.lk_track_video(jnp.asarray(frames), jnp.asarray(pts, jnp.float32))
+    )
+    sta = np.asarray(
+        tracking.lk_track_video(jnp.asarray(frames), grid_step=step)
+    )
+    np.testing.assert_array_equal(dyn, sta)
+
+
 def test_grid_points_matches_reference_order():
     pts = tracking.grid_points(640, 480, 200)
     # x-major from (200,200): (200,200),(200,400),(400,200),(400,400),(600,...)
