@@ -3,14 +3,14 @@
 TPU-native rebuild of the driver's sequential integration loop
 (ref: src/core_testcode.cpp:37-54): the reference folds
 q_i = normalize(quat_from_aa(omega_i * dt_i) * q_{i-1}) one sample at a
-time; quaternion composition is associative, so here the whole log
-integrates in log-depth with `jax.lax.associative_scan` — one launch
-for a full clip's gyro history.
+time. Here the whole log integrates in one `lax.scan` launch.
 
-Per-step normalization is dropped (the scan is algebraically the same
-product; unit-norm drift over ~10^5 samples is ~1e-6 relative) and a
-single normalization is applied at the end; the spline consumer
-re-normalizes after evaluation anyway (ref: core_private.cpp:24-25).
+Implementation note: quaternion composition is associative, so a
+log-depth `lax.associative_scan` also works — but its unrolled HLO
+makes compile time grow with the log length (seconds for a
+minutes-long log), while this stage's runtime is negligible either
+way; the sequential scan compiles in O(1) and keeps the reference's
+per-step normalization exactly.
 """
 
 from __future__ import annotations
@@ -49,14 +49,22 @@ def integrate_gyro(
         work_dtype = jnp.float32
     dq = quat.from_axis_angle(jnp.asarray(aa, work_dtype))
 
-    # prefix products q_i = dq_i * dq_{i-1} * ... * dq_1:
-    # fold with f(a, b) = b * a (apply a first, then b) — associative.
-    prefix = jax.lax.associative_scan(lambda a, b: quat.mul(b, a), dq)
-    prefix = quat.normalize(prefix)
+    q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0], work_dtype)
+    prefix = _scan_fold(q0, dq)
     out = np.zeros((n, 4))
     out[0] = [1.0, 0.0, 0.0, 0.0]
     out[1:] = np.asarray(prefix, np.float64)
     return out
+
+
+@jax.jit
+def _scan_fold(q0, dq):
+    # left-multiply fold q_i = normalize(dq_i * q_{i-1})
+    def step(q_prev, dq_i):
+        q = quat.normalize(quat.mul(dq_i, q_prev))
+        return q, q
+
+    return jax.lax.scan(step, q0, dq)[1]
 
 
 def integrate_gyro_fixed_rate(gyro: np.ndarray, sample_rate: float) -> np.ndarray:
