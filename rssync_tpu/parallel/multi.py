@@ -1,0 +1,185 @@
+"""Multi-clip batching: windows from SEVERAL clips (each with its own
+gyro spline) sync as one batched launch.
+
+BASELINE configs[4] ("N videos x M syncpoints ... on v5e-8"): the
+window axis already scales across a Mesh (parallel/mesh.py); this
+module adds the per-window spline-table axis so the batch can mix
+clips. Tables are padded to a common knot count with edge-replicated
+columns (the same boundary semantics as the engine's clamped gather;
+windows are interior so the shifted far-extrapolation point is
+unobservable).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rssync_tpu.core.problem import SplineTable, TrackWindow
+from rssync_tpu.core.sync import SyncResult, sync_window
+from rssync_tpu.core.presync import window_cost
+from rssync_tpu.parallel.batch import stack_windows
+
+
+def stack_tables(tables: Sequence[SplineTable]) -> SplineTable:
+    """Stack per-window spline tables on a leading axis, padding the
+    knot axis to the batch maximum with edge-replicated columns."""
+    n_max = max(int(t.coeffs.shape[-1]) for t in tables)
+
+    def pad(t: SplineTable) -> SplineTable:
+        d = n_max - int(t.coeffs.shape[-1])
+        if d == 0:
+            return t
+
+        def edge_pad(c):
+            return jnp.concatenate(
+                [c, jnp.repeat(c[:, -1:], d, axis=1)], axis=1
+            )
+
+        return SplineTable(
+            coeffs=edge_pad(t.coeffs),
+            coeffs_padded=edge_pad(t.coeffs_padded),
+            sample_rate=t.sample_rate,
+        )
+
+    padded = [pad(t) for t in tables]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded)
+
+
+def stack_problems(
+    tables: Sequence[SplineTable], windows: Sequence[TrackWindow]
+) -> tuple[SplineTable, TrackWindow]:
+    """Stack (table, window) pairs — one table per window; repeat a
+    clip's table for each of its windows."""
+    if len(tables) != len(windows):
+        raise ValueError("one table per window required")
+    return stack_tables(tables), stack_windows(windows)
+
+
+@partial(jax.jit, static_argnames=("wide",))
+def batched_presync_multi(
+    tables: SplineTable,
+    wins: TrackWindow,
+    delays: jnp.ndarray,
+    key: jax.Array,
+    wide: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-window-table variant of parallel.batch.batched_presync:
+    (best_cost (W,), best_delay (W,)) over a shared delay grid."""
+    from rssync_tpu.core.presync import DELAY_CHUNK
+    from rssync_tpu.core.problem import make_wide_bands
+
+    W = wins.frame_mask.shape[0]
+    D = delays.shape[0]
+    bands = None
+    if wide:
+        center = 0.5 * (jnp.min(delays) + jnp.max(delays))
+        bands = jax.vmap(
+            lambda t, w: make_wide_bands(t, w, center)
+        )(tables, wins)
+    pad = (-D) % DELAY_CHUNK
+    delays_p = jnp.pad(delays, (0, pad), constant_values=jnp.inf)
+    Dp = delays_p.shape[0]
+    keys = jax.random.split(key, W * Dp).reshape(Dp, W, 2)
+    chunks = delays_p.reshape(-1, DELAY_CHUNK)
+    kchunks = keys.reshape(-1, DELAY_CHUNK, W, 2)
+
+    def one_chunk(args):
+        ds, ks = args
+        if bands is None:
+            per = lambda d, kk: jax.vmap(
+                lambda t, w, k: window_cost(t, w, d, k)
+            )(tables, wins, kk)
+        else:
+            per = lambda d, kk: jax.vmap(
+                lambda t, w, k, b: window_cost(t, w, d, k, b)
+            )(tables, wins, kk, bands)
+        return jax.vmap(per)(ds, ks)
+
+    costs = jax.lax.map(one_chunk, (chunks, kchunks)).reshape(Dp, W)
+    costs = jnp.where(jnp.isfinite(delays_p)[:, None], costs, jnp.inf)
+    i = jnp.argmin(costs, axis=0)
+    return jnp.take_along_axis(costs, i[None], axis=0)[0], delays_p[i]
+
+
+@partial(jax.jit, static_argnames=("wide",))
+def batched_sync_multi(
+    tables: SplineTable,
+    wins: TrackWindow,
+    initial_delays: jnp.ndarray,
+    search_centers: jnp.ndarray,
+    search_radius,
+    key: jax.Array,
+    wide: bool = False,
+) -> SyncResult:
+    """Per-window-table variant of parallel.batch.batched_sync."""
+    W = wins.frame_mask.shape[0]
+    keys = jax.random.split(key, W)
+    radius = jnp.broadcast_to(
+        jnp.asarray(search_radius, initial_delays.dtype), (W,)
+    )
+    return jax.vmap(
+        lambda t, w, d0, c, r, k: sync_window(t, w, d0, c, r, k, wide=wide)
+    )(tables, wins, initial_delays, search_centers, radius, keys)
+
+
+def sync_clips(
+    problems,
+    syncpoint_lists: Sequence[Sequence[int]],
+    sync_window_frames: int,
+    initial_delay: float,
+    presync_step: float,
+    presync_radius: float,
+    key: jax.Array,
+    sync_passes: int = 4,
+) -> list[list[float]]:
+    """High-level multi-clip driver: N SyncProblems (one per clip,
+    tracks + gyro already set) x their syncpoint lists -> per-clip
+    delay lists (seconds). All windows of all clips run as ONE batched
+    PreSync launch + `sync_passes` batched Sync launches; shard the
+    window axis over a Mesh (parallel/mesh.py) for multi-chip.
+    """
+    tables, wins_open, wins_closed, owners = [], [], [], []
+    for ci, (sp, pts) in enumerate(zip(problems, syncpoint_lists)):
+        for pos in pts:
+            tables.append(sp.spline_table)
+            wins_open.append(
+                sp.build_window(pos, pos + sync_window_frames, closed=False)
+            )
+            wins_closed.append(
+                sp.build_window(pos, pos + sync_window_frames, closed=True)
+            )
+            owners.append(ci)
+
+    t_stack, w_open = stack_problems(tables, wins_open)
+    _, w_closed = stack_problems(tables, wins_closed)
+
+    grid = []
+    d = initial_delay - presync_radius
+    while d < initial_delay + presync_radius:
+        grid.append(d)
+        d += presync_step
+    delays = jnp.asarray(np.asarray(grid), jnp.float32)
+
+    wide = all(
+        sp._wide_ok(presync_radius) for sp in problems
+    )
+    key, k1 = jax.random.split(key)
+    _, best = batched_presync_multi(t_stack, w_open, delays, k1, wide=wide)
+    centers = jnp.full_like(best, initial_delay)
+    cur = best
+    for _ in range(sync_passes):
+        key, k = jax.random.split(key)
+        res = batched_sync_multi(
+            t_stack, w_closed, cur, centers, presync_radius, k, wide=wide
+        )
+        cur = res.delay
+
+    out: list[list[float]] = [[] for _ in problems]
+    for delay, ci in zip(np.asarray(cur, np.float64), owners):
+        out[ci].append(float(delay))
+    return out
