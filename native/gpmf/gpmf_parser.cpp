@@ -296,7 +296,9 @@ extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
     }
     if (!found) break;
 
+    if (mdhd.len < 16) break;
     uint8_t version = mdhd.p[0];
+    if (version == 1 && mdhd.len < 24) break;
     uint32_t timescale = be32(mdhd.p + (version == 1 ? 20 : 12));
     if (timescale == 0) break;
 
@@ -313,20 +315,40 @@ extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
       co64 = true;
     }
 
+    // All table counts come from untrusted file bytes: clamp each one to
+    // what its box payload can actually hold before sizing any vector,
+    // so a malformed count can neither balloon an allocation nor walk
+    // reads past the mmap.
+    if (stsz.len < 12 || stco.len < 8 || stsc.len < 8 || stts.len < 8) break;
     uint32_t sample_size = be32(stsz.p + 4);
     uint32_t sample_count = be32(stsz.p + 8);
+    if (sample_size == 0) {
+      uint64_t cap = (stsz.len - 12) / 4;
+      if (sample_count > cap) sample_count = uint32_t(cap);
+    } else if (sample_count > len) {
+      // constant-size samples carry no table; bound by file size
+      sample_count = uint32_t(len);
+    }
     if (sample_count == 0) break;
     std::vector<uint64_t> sizes(sample_count);
     for (uint32_t i = 0; i < sample_count; ++i)
       sizes[i] = sample_size ? sample_size : be32(stsz.p + 12 + 4 * i);
 
     uint32_t nco = be32(stco.p + 4);
+    {
+      uint64_t cap = (stco.len - 8) / (co64 ? 8 : 4);
+      if (nco > cap) nco = uint32_t(cap);
+    }
     std::vector<uint64_t> chunk_off(nco);
     for (uint32_t i = 0; i < nco; ++i)
       chunk_off[i] = co64 ? be64(stco.p + 8 + 8 * i) : be32(stco.p + 8 + 4 * i);
 
     // expand stsc to per-sample offsets
     uint32_t nsc = be32(stsc.p + 4);
+    {
+      uint64_t cap = (stsc.len - 8) / 12;
+      if (nsc > cap) nsc = uint32_t(cap);
+    }
     std::vector<uint64_t> sample_off(sample_count);
     {
       uint32_t si = 0;
@@ -349,6 +371,10 @@ extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
 
     // per-sample durations (seconds) from stts
     uint32_t nst = be32(stts.p + 4);
+    {
+      uint64_t cap = (stts.len - 8) / 8;
+      if (nst > cap) nst = uint32_t(cap);
+    }
     std::vector<double> durs;
     durs.reserve(sample_count);
     for (uint32_t i = 0; i < nst && durs.size() < sample_count; ++i) {

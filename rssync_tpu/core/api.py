@@ -110,8 +110,12 @@ class SyncProblem:
         actual_sr_uhz = (1_000_000 * _US_IN_SEC * count) // int(ts[-1] - ts[0])
         rounded_sr_hz = int(round(actual_sr_uhz / 50.0 / 1_000_000) * 50)
 
-        # uniform grid of integer-µs timestamps (ref :151-155)
-        first_sample = int(np.ceil(ts[0] * rounded_sr_hz / _US_IN_SEC))
+        # uniform grid of integer-µs timestamps (ref :151-155). The
+        # reference's std::ceil(ts[0]*sr / k_us_in_sec) runs AFTER an
+        # int64/uint64 division, so it is a no-op on an already
+        # floor-divided integer — the grid starts one sample earlier
+        # than a true ceiling whenever ts[0]*sr % 1e6 != 0.
+        first_sample = int(ts[0]) * rounded_sr_hz // _US_IN_SEC
         samples = []
         s = first_sample
         while _US_IN_SEC * s // rounded_sr_hz < ts[-1]:

@@ -53,14 +53,26 @@ def _biquad_forward(x: jnp.ndarray, coeffs) -> jnp.ndarray:
 
 def gyro_lowpass(samples: jnp.ndarray, divider: int) -> jnp.ndarray:
     """Zero-phase low-pass: forward + time-reversed biquad
-    (ref: signal.cpp:3-31). samples: (3, N); divider < 2 is identity."""
+    (ref: signal.cpp:3-31). samples: (C, N); divider < 2 is identity.
+
+    The reference filters in place with a two-sample write lag
+    (``samples.col(i-2) = out[0]``), so after the forward pass the last
+    two columns remain RAW inputs and seed the reverse pass, and the
+    reverse pass likewise never overwrites the first/last two columns.
+    Replicated exactly: output = [x0, x1, filtered..., x_{N-2}, x_{N-1}].
+    """
     if divider < 2:
         return samples
     samples = jnp.asarray(samples)
+    if samples.shape[1] < 5:
+        return samples  # ref loop bodies degenerate below this length
     coeffs = _biquad_coeffs(divider)
     fwd = _biquad_forward(samples, coeffs)
-    rev = _biquad_forward(fwd[:, ::-1], coeffs)
-    return rev[:, ::-1]
+    fwd = jnp.concatenate([fwd[:, :-2], samples[:, -2:]], axis=1)
+    rev = _biquad_forward(fwd[:, ::-1], coeffs)[:, ::-1]
+    return jnp.concatenate(
+        [samples[:, :2], rev[:, 2:-2], samples[:, -2:]], axis=1
+    )
 
 
 def gyro_upsample(samples: jnp.ndarray, multiplier: int) -> jnp.ndarray:

@@ -50,13 +50,50 @@ def stack_tables(tables: Sequence[SplineTable]) -> SplineTable:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded)
 
 
+def _check_interior(
+    table: SplineTable, win: TrackWindow, delay_margin_s: float, who: str
+) -> None:
+    """Enforce the interior-window assumption for a table that will be
+    padded: every valid feature's spline index, swung by
+    ±delay_margin_s, must stay inside THIS clip's own knot range.
+    Edge-padding a shorter table replaces its quadratic extrapolation
+    with a per-knot sawtooth, so evaluation past the true last knot
+    must be rejected rather than silently wrong."""
+    m = np.asarray(win.feat_mask) > 0
+    if not m.any():
+        return
+    i0 = np.concatenate(
+        [np.asarray(win.i0_a)[m], np.asarray(win.i0_b)[m]]
+    )
+    sr = float(np.asarray(table.sample_rate))
+    margin = int(np.ceil(abs(delay_margin_s) * sr)) + 1
+    n = int(table.coeffs.shape[-1])
+    lo = int(i0.min()) - margin
+    hi = int(i0.max()) + margin
+    if lo < 0 or hi >= n - 1:
+        raise ValueError(
+            f"{who}: window spline band [{lo}, {hi}] (with "
+            f"{delay_margin_s:+.3f}s delay margin) leaves the clip's own "
+            f"knot interior [0, {n - 2}]; edge-padded tables are only "
+            "valid for interior windows"
+        )
+
+
 def stack_problems(
-    tables: Sequence[SplineTable], windows: Sequence[TrackWindow]
+    tables: Sequence[SplineTable],
+    windows: Sequence[TrackWindow],
+    delay_margin_s: float = 0.0,
 ) -> tuple[SplineTable, TrackWindow]:
     """Stack (table, window) pairs — one table per window; repeat a
-    clip's table for each of its windows."""
+    clip's table for each of its windows. Windows whose tables get
+    padded must stay interior to their own clip's knot range over the
+    ±delay_margin_s search swing (checked, see _check_interior)."""
     if len(tables) != len(windows):
         raise ValueError("one table per window required")
+    n_max = max(int(t.coeffs.shape[-1]) for t in tables)
+    for i, (t, w) in enumerate(zip(tables, windows)):
+        if int(t.coeffs.shape[-1]) < n_max:
+            _check_interior(t, w, delay_margin_s, f"stack_problems[{i}]")
     return stack_tables(tables), stack_windows(windows)
 
 
@@ -155,8 +192,9 @@ def sync_clips(
             )
             owners.append(ci)
 
-    t_stack, w_open = stack_problems(tables, wins_open)
-    _, w_closed = stack_problems(tables, wins_closed)
+    margin = abs(initial_delay) + presync_radius
+    t_stack, w_open = stack_problems(tables, wins_open, margin)
+    _, w_closed = stack_problems(tables, wins_closed, margin)
 
     grid = []
     d = initial_delay - presync_radius
