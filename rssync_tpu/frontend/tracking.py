@@ -1,24 +1,45 @@
-"""Feature tracking front-end: host video decode + TPU pyramidal
-Lucas-Kanade tracking of a fixed feature grid, with rolling-shutter
-timestamp assignment and fisheye ray lifting.
+"""Feature tracking front-end: host video decode + TPU feature
+tracking of a fixed grid, with rolling-shutter timestamp assignment
+and fisheye ray lifting.
 
 Rebuild of `track_frames` (ref: src/core_testcode.cpp:97-162). The
 reference runs OpenCV DIS dense optical flow per frame pair on the
 host and samples it at a fixed grid (step 200 px starting at
 (200, 200)); dense flow over 5.5 MPx is wildly more work than the
-~130 tracked points need. The TPU-native design tracks exactly the
-grid points with iterative pyramidal LK — every (point, level,
-iteration) is a fixed-shape vmapped computation in one jitted call per
-frame pair — and fuses the downstream undistort + rolling-shutter
-timestamping + unit-ray lifting into the same launch.
+~130 tracked points need.
 
-A `method="dis"` path (host cv2 DIS at the same grid) is kept for
-cross-validation against the reference's tracker choice
-(SURVEY §7 step 6).
+TPU-native design (v2, measured on a v5e; see docs/ROADMAP.md):
+  1. coarse motion, dense + global (no per-point work at all):
+     a global-translation SAD argmin at a ~16 px pyramid level, then
+     a (2D+1)^2 shifted-SAD cost volume at a ~64 px level — every op
+     is a full-image shift/subtract/box-filter (pure VPU) — with
+     parabolic subpixel refinement; the flow field is bilinearly
+     sampled at the feature grid by one small matmul.
+  2. fine refinement: 2-3 finest pyramid levels of iterative
+     Lucas-Kanade. All per-point windows are fetched with ONE
+     jnp.take row-block gather per level (the image is viewed as
+     (H*W/128, 128) lane blocks; a per-point window needs S rows x 2
+     consecutive blocks), and every shifted/fractional window sample
+     inside the iterations is two batched matmuls against 2-tap
+     linear-interpolation matrices (the bilinear blend IS the
+     matmul weights).
+
+  Rationale: per-point `dynamic_slice` lowers to a serialized XLA
+  gather at ~1.3 us per point regardless of slice size (measured),
+  which made extraction 70% of the round-1 clip budget; the
+  row-block gather moves all points in one op (~1.4 ns/row), and the
+  interpolation matmuls replace (2M+1) masked select-rounds per
+  iteration (10 us vs 24 us per iteration for 130 points, measured).
+
+The host decode path and the downstream undistort + rolling-shutter
+timestamping + unit-ray lifting are unchanged. A `method="dis"` path
+(host cv2 DIS at the same grid) is kept for cross-validation against
+the reference's tracker choice (SURVEY §7 step 6).
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Iterator
@@ -29,25 +50,28 @@ import jax.numpy as jnp
 
 from rssync_tpu.ops import lens as lens_ops
 
-# LK parameters. Pyramid depth is auto-scaled to the image: LK locks
-# when the coarsest-level displacement is within the feature scale
-# (~4 px), so depth L gives ~4 * 2^(L-1) px of displacement capacity;
-# we deepen until the coarsest level is ~24 px across. For 2.7k GoPro
-# frames that is 7 levels ~= 250 px inter-frame motion capacity.
-LK_MIN_COARSE = 24
-# depth capped at 6: with the LK_MARGIN=8 search buffer the coarsest
-# level still covers (8-1) * 2^5 = 224 px of inter-frame motion at
-# 2.7k, and each level costs two per-point slicing rounds
-LK_MAX_LEVELS = 6
 LK_RADIUS = 10  # 21x21 window
-LK_ITERS = 10
+LK_ITERS = 10  # API default; v2 schedules fewer per level (see _fine_plan)
+
+#: fine-level margins: the iterate may wander +-(margin-1) px from the
+#: incoming guess within one level. The entry level's margin absorbs
+#: the coarse-stage init error (<= ~0.7 px at the volume level).
+MARGIN_ENTRY = 8
+MARGIN_FINE = 3
+
+#: local cost-volume search radius (px at the volume level)
+VOL_D = 4
+#: box-filter half-width for the volume SAD (5x5)
+VOL_BOX = 2
+
+LANE = 128
 
 
 def auto_levels(height: int, width: int) -> int:
-    import math
-
+    """Pyramid depth so the coarsest level is ~12-24 px across (the
+    global-SAD stage runs there; capacity scales with depth)."""
     m = min(height, width)
-    return max(1, min(LK_MAX_LEVELS, int(math.floor(math.log2(m / LK_MIN_COARSE))) + 1))
+    return max(1, int(math.floor(math.log2(m / 12))) + 1)
 
 
 def auto_grid_step(width: int) -> int:
@@ -71,13 +95,13 @@ def grid_points(width: int, height: int, step: int | None = None) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# device-side LK
+# pyramid
 
 
 def _blur5(img: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Separable 5-tap Gaussian [1 4 6 4 1]/16 with edge padding over
     one of the last two (spatial) axes; leading axes are batch."""
-    ax = img.ndim - 2 + axis  # axis 0 -> rows, 1 -> cols
+    ax = img.ndim - 2 + axis
     pad = [(0, 0)] * img.ndim
     pad[ax] = (2, 2)
     p = jnp.pad(img, pad, mode="edge")
@@ -91,255 +115,417 @@ def _blur5(img: jnp.ndarray, axis: int) -> jnp.ndarray:
     return (sl(0) + 4.0 * sl(1) + 6.0 * sl(2) + 4.0 * sl(3) + sl(4)) / 16.0
 
 
+def _avgpool2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pool via reduce_window (measured FREE on TPU at
+    2.7k x16; reshape-mean costs 11 ms and conv 25 ms for the same)."""
+    x = img.astype(jnp.float32)
+    win = (1,) * (x.ndim - 2) + (2, 2)
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, win, win, "VALID")
+    return s * 0.25
+
+
 def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
     """Gaussian blur + 2x decimation (anti-aliased pyramid level, like
     cv2.pyrDown). Plain 2x2 pooling aliases high-frequency texture and
-    breaks coarse-level LK for large motions."""
-    img = _blur5(_blur5(img, 0), 1)
-    return img[..., ::2, ::2]
-
-
-def _avgpool2(img: jnp.ndarray) -> jnp.ndarray:
-    H, W = img.shape[-2], img.shape[-1]
-    H2, W2 = H // 2, W // 2
-    x = img[..., : H2 * 2, : W2 * 2]
-    x = x.reshape(*x.shape[:-2], H2, 2, W2, 2)
-    return x.mean(axis=(-3, -1))
+    breaks coarse-level matching for large motions. Decimation via a
+    1x1/stride-2 reduce_window (strided slices relayout poorly)."""
+    img = _blur5(_blur5(img, 0), 1).astype(jnp.float32)
+    win = (1,) * img.ndim
+    st = (1,) * (img.ndim - 2) + (2, 2)
+    return jax.lax.reduce_window(img, 0.0, jax.lax.add, win, st, "VALID")
 
 
 def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
-    """Image pyramid, HBM-traffic-minimal.
+    """Image pyramid in the INPUT dtype (u8 from the decoder stays u8:
+    4x less HBM than f32, and the u8 row-block gather is the fastest
+    extraction path on TPU; deeper levels round back to u8). Level 1
+    is a 2x2 average (the 5-tap blur at full res costs ~4x the rest of
+    the pyramid; a box filter antialiases enough), deeper levels use
+    the 5-tap Gaussian."""
+    store = img.dtype
 
-    - level 0 keeps the input dtype (u8 from the decoder: no 4x f32
-      blow-up of the full-res frame; patches convert to f32 after
-      extraction, where they are tiny)
-    - level 1 is a 2x2 average (the 5-tap blur at full res costs ~4x
-      the whole rest of the pyramid; a box filter antialiases enough
-      for LK on natural images), stored bf16
-    - deeper levels use the 5-tap Gaussian, stored bf16 (coarse levels
-      only steer the search; the f32 final refinement happens at
-      level 0)
-    """
+    def cast(x):
+        if jnp.issubdtype(store, jnp.integer):
+            return jnp.clip(jnp.round(x), 0, 255).astype(store)
+        return x.astype(store)
+
     pyr = [img]
     if levels > 1:
-        pyr.append(_avgpool2(img.astype(jnp.float32)).astype(jnp.bfloat16))
+        pyr.append(cast(_avgpool2(img.astype(jnp.float32))))
     for _ in range(2, levels):
-        pyr.append(_downsample2(pyr[-1].astype(jnp.float32)).astype(jnp.bfloat16))
+        pyr.append(cast(_downsample2(pyr[-1].astype(jnp.float32))))
     return pyr
 
 
-def _bilinear_patches(img: jnp.ndarray, centers: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Sample (2r+1)^2 windows at fractional centers.
+def _pad_lanes(img: jnp.ndarray) -> jnp.ndarray:
+    """Edge-pad width to a multiple of 128 so the image reshapes into
+    (rows*blocks, 128) lane blocks for the row-block gather."""
+    W = img.shape[-1]
+    Wp = -(-W // LANE) * LANE
+    if Wp == W:
+        return img
+    cfg = [(0, 0)] * (img.ndim - 1) + [(0, Wp - W)]
+    return jnp.pad(img, cfg, mode="edge")
 
-    img: (H, W); centers: (N, 2) xy. Returns (N, 2r+1, 2r+1).
 
-    TPU-shaped implementation: an LK window is RIGID, so every pixel of
-    a patch shares the point's single fractional offset. Each patch is
-    one `dynamic_slice` of (w+1, w+1) at the integer origin (a block
-    transfer the hardware is good at) blended by 4 scalar weights —
-    per-element gathers (jnp.take of scattered indices) run ~100M
-    elem/s on TPU and made tracking 100x slower than this.
+# ---------------------------------------------------------------------------
+# batched window machinery (gather + interpolation matmuls)
 
-    Near the border dynamic_slice clamps the slice start, which shifts
-    the window instead of clamp-padding it; sync feature grids stay
-    interior so the difference is immaterial.
-    """
-    w = 2 * radius + 1
-    start = centers - radius  # (N, 2) xy of patch origin
-    base = jnp.floor(start)
-    frac = start - base  # (N, 2) in [0, 1)
 
-    def one(origin_xy):
-        return jax.lax.dynamic_slice(
-            img,
-            (origin_xy[1].astype(jnp.int32), origin_xy[0].astype(jnp.int32)),
-            (w + 1, w + 1),
-        )
+def _gather_blocks(imgs: jnp.ndarray, oy: jnp.ndarray, obx: jnp.ndarray,
+                   S: int) -> jnp.ndarray:
+    """Fetch S-row x 256-lane windows for every (pair, point) in ONE
+    jnp.take.
 
-    big = jax.vmap(one)(base).astype(jnp.float32)  # (N, w+1, w+1)
-    frac = frac.astype(jnp.float32)
-    fx = frac[:, 0, None, None]
-    fy = frac[:, 1, None, None]
-    return (
-        big[:, :-1, :-1] * (1 - fx) * (1 - fy)
-        + big[:, :-1, 1:] * fx * (1 - fy)
-        + big[:, 1:, :-1] * (1 - fx) * fy
-        + big[:, 1:, 1:] * fx * fy
+    imgs: (B, H, Wp) with Wp % 128 == 0; oy: (B, N) int32 top row;
+    obx: (B, N) int32 leftmost 128-lane block. Returns (B, N, S, 256)
+    f32. Rows/blocks are clamped per-row (edge replication)."""
+    B, H, Wp = imgs.shape
+    NB = Wp // LANE
+    src = imgs.reshape(B * H * NB, LANE)
+    rows = jnp.clip(oy[..., None] + jnp.arange(S, dtype=jnp.int32), 0, H - 1)
+    blk = jnp.clip(
+        obx[..., None, None] + jnp.arange(2, dtype=jnp.int32), 0, NB - 1
+    )  # (B, N, 1, 2)
+    base = jnp.arange(B, dtype=jnp.int32)[:, None, None] * H + rows  # (B,N,S)
+    idx = base[..., None] * NB + blk  # (B, N, S, 2)
+    out = jnp.take(src, idx.reshape(-1), axis=0)
+    N = oy.shape[1]
+    return out.reshape(B, N, S, 2 * LANE).astype(jnp.float32)
+
+
+def _tap2(pos: jnp.ndarray, size: int, width: int,
+          dtype=jnp.float32) -> jnp.ndarray:
+    """2-tap linear-interpolation matrix: T[..., i, c] = max(0,
+    1-|pos+i-c|), so T @ v samples v at fractional positions pos+i.
+    pos: (...,) f32. Returns (..., size, width)."""
+    p = pos[..., None, None] + jnp.arange(size, dtype=jnp.float32)[:, None]
+    c = jnp.arange(width, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(p - c)).astype(dtype)
+
+
+def _bmm(a: jnp.ndarray, b: jnp.ndarray, contract: tuple[int, int],
+         precision=None) -> jnp.ndarray:
+    """Batched matmul over the two leading (B, N) dims."""
+    nb = a.ndim - 2
+    return jax.lax.dot_general(
+        a, b,
+        (((contract[0] + nb,), (contract[1] + nb,)),
+         (tuple(range(nb)), tuple(range(nb)))),
+        precision=precision,
+        preferred_element_type=jnp.float32,
     )
 
 
-#: search-buffer margin: LK iterations may move the displacement up to
-#: +-(MARGIN-1) px away from the incoming guess within one level.
-#: Coarse-to-fine guesses are within a few px, so interior levels use
-#: LK_MARGIN_FINE; the coarsest level starts from guess 0 and gets the
-#: full LK_MARGIN (its margin bounds total displacement capacity).
-LK_MARGIN = 8
-LK_MARGIN_FINE = 4
+def _sample_windows(wide: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray,
+                    rows: int, cols: int, precision=None) -> jnp.ndarray:
+    """Bilinear windows from gathered blocks: wide (B, N, S, 256),
+    fy/fx (B, N) fractional offsets of the window origin inside the
+    gathered region. Returns (B, N, rows, cols)."""
+    Ry = _tap2(fy, rows, wide.shape[2])
+    Cx = _tap2(fx, cols, wide.shape[3])
+    part = _bmm(Ry, wide, (1, 0), precision)  # (B, N, rows, 256)
+    return _bmm(part, Cx, (1, 1), precision)  # (B, N, rows, cols)
 
 
-def _level_schedule(lvl: int, levels: int, iters: int) -> tuple[int, int]:
-    """(iterations, margin) per pyramid level: full iterations at the
-    finest level (subpixel accuracy) and at the coarsest (it pulls the
-    track in from a zero guess across the full margin); intermediate
-    levels only need to land within ~1 px for the next level's margin."""
-    margin = LK_MARGIN if lvl == levels - 1 else LK_MARGIN_FINE
-    if lvl == 0 or lvl == levels - 1:
-        return iters, margin
-    if lvl == 1:
-        return max(1, min(iters, 6)), margin
-    return max(1, min(iters, 4)), margin
-
-
-def _static_template_patches(imgs, pts_level_np, radius: int):
-    """Template patches for a STATIC feature grid, gather-free.
-
-    imgs: (B, Hp, Wp) one (padded) pyramid level for the B `img_a`
-    frames. pts_level_np: (N, 2) numpy — compile-time constants on a
-    full rectangular grid (Gx distinct x, Gy distinct y, x-major
-    order). Returns (B, N, 2r+3, 2r+3) f32, numerically identical to
-    `_bilinear_patches(imgs[b], pts_level, radius + 1)`.
-
-    Because origins are static, extraction needs NO per-point dynamic
-    slices (~3 us each on TPU): rows come from Gy static strip slices,
-    columns from one constant one-hot matmul on the MXU, and the
-    bilinear blend uses per-column/per-row constant fractions.
-    """
-    B, Hp, Wp = imgs.shape
-    w2 = 2 * (radius + 1) + 1  # blended patch side
-    S_t = w2 + 1  # superset side for the 4-tap blend
-
-    start = np.asarray(pts_level_np, np.float64) - (radius + 1)
-    base = np.floor(start).astype(np.int64)
-    frac = (start - base).astype(np.float32)  # (N, 2)
-
-    xs = np.unique(base[:, 0])
-    ys = np.unique(base[:, 1])
-    Gx, Gy = len(xs), len(ys)
-    if Gx * Gy != len(base):
-        raise ValueError("static template grid must be rectangular")
-    # x-major point order check: n = ix * Gy + iy
-    expect = np.stack(
-        [np.repeat(xs, Gy), np.tile(ys, Gx)], axis=1
-    )
-    if not np.array_equal(base, expect):
-        raise ValueError("static template grid must be x-major ordered")
-
-    ys_c = np.clip(ys, 0, Hp - S_t)
-    xs_c = np.clip(xs, 0, Wp - S_t)
-
-    strips = jnp.concatenate(
-        [imgs[:, oy : oy + S_t, :] for oy in ys_c], axis=1
-    ).astype(jnp.float32)  # (B, Gy*S_t, Wp)
-    # constant one-hot column selector
-    C = np.zeros((Wp, Gx * S_t), np.float32)
-    for g, ox in enumerate(xs_c):
-        for j in range(S_t):
-            C[ox + j, g * S_t + j] = 1.0
-    big = strips @ jnp.asarray(C)  # (B, Gy*S_t, Gx*S_t)
-    big = big.reshape(B, Gy, S_t, Gx, S_t)
-    big = jnp.transpose(big, (0, 3, 1, 2, 4)).reshape(B, Gx * Gy, S_t, S_t)
-
-    fx = jnp.asarray(frac[:, 0])[None, :, None, None]
-    fy = jnp.asarray(frac[:, 1])[None, :, None, None]
-    return (
-        big[:, :, :-1, :-1] * (1 - fx) * (1 - fy)
-        + big[:, :, :-1, 1:] * fx * (1 - fy)
-        + big[:, :, 1:, :-1] * (1 - fx) * fy
-        + big[:, :, 1:, 1:] * fx * fy
+def _extract_patches(imgs: jnp.ndarray, pts: jnp.ndarray, size: int,
+                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """(B, N, size, size) f32 bilinear patches with top-left corner at
+    `pts` (fractional xy, per pair). imgs: (B, H, Wp) lane-padded."""
+    base = jnp.floor(pts)
+    frac = (pts - base).astype(jnp.float32)
+    oy = base[..., 1].astype(jnp.int32)
+    ox = base[..., 0].astype(jnp.int32)
+    obx = ox // LANE
+    rem = (ox - obx * LANE).astype(jnp.float32)
+    wide = _gather_blocks(imgs, oy, obx, size + 1)
+    return _sample_windows(
+        wide, frac[..., 1], rem + frac[..., 0], size, size, precision
     )
 
 
 def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
-              template=None, margin: int = LK_MARGIN):
-    """One pyramid level of iterative LK for all points.
+              margin: int, precision=None):
+    """One pyramid level of iterative LK for all (pair, point).
 
-    img_a/img_b must be EDGE-PADDED per _pad_level and pts_level offset
-    accordingly. pts_level: (N, 2) positions in this level's (padded)
-    coordinates. guess: (N, 2) incoming displacement. Returns (N, 2).
+    img_a/img_b: (B, H, Wp) lane-padded level images. pts_level:
+    (N, 2) or (B, N, 2) point positions at this level's scale. guess:
+    (B, N, 2) incoming displacement. Returns (B, N, 2).
 
-    TPU structure: exactly TWO rounds of per-point slicing from the
-    level image — the template (image A) and one (2*MARGIN + w + 1)^2
-    search buffer around the guess (image B). The iteration loop never
-    touches the image again: the integer part of each point's offset
-    selects among (2*MARGIN+1)^2 STATIC slices of its resident buffer
-    (fused VPU selects), the fraction is a 4-tap blend. Per-point
-    dynamic slices cost ~1.5 us each on TPU, so the previous
-    extract-per-iteration design was ~6x more expensive.
-    """
+    Structure: template patch + gradients once (gathered, bilinear);
+    ONE row-block gather of each point's search region from img_b;
+    then `iters` Gauss-Newton steps where the shifted fractional
+    window is two interpolation matmuls against the resident region
+    (never touching HBM again)."""
     w = 2 * radius + 1
-    # template patch + gradients from image A (fixed over iterations);
-    # precomputed gather-free for static grids (template=...)
-    patch_a = (
-        template
-        if template is not None
-        else _bilinear_patches(img_a, pts_level, radius + 1)
-    )  # (N, w+2, w+2)
-    ix = 0.5 * (patch_a[:, 1:-1, 2:] - patch_a[:, 1:-1, :-2])
-    iy = 0.5 * (patch_a[:, 2:, 1:-1] - patch_a[:, :-2, 1:-1])
-    t = patch_a[:, 1:-1, 1:-1]
-    gxx = jnp.sum(ix * ix, axis=(1, 2))
-    gxy = jnp.sum(ix * iy, axis=(1, 2))
-    gyy = jnp.sum(iy * iy, axis=(1, 2))
+    B = img_a.shape[0]
+    if pts_level.ndim == 2:
+        pts_level = jnp.broadcast_to(
+            pts_level[None], (B, *pts_level.shape)
+        )
+
+    # template patch (w+2)^2 for central-difference gradients
+    patch_a = _extract_patches(
+        img_a, pts_level - (radius + 1), w + 2,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    ix = 0.5 * (patch_a[..., 1:-1, 2:] - patch_a[..., 1:-1, :-2])
+    iy = 0.5 * (patch_a[..., 2:, 1:-1] - patch_a[..., :-2, 1:-1])
+    t = patch_a[..., 1:-1, 1:-1]
+    gxx = jnp.sum(ix * ix, axis=(-2, -1))
+    gxy = jnp.sum(ix * iy, axis=(-2, -1))
+    gyy = jnp.sum(iy * iy, axis=(-2, -1))
     det = gxx * gyy - gxy * gxy
     inv_ok = det > 1e-6
     det_safe = jnp.where(inv_ok, det, 1.0)
 
-    # resident search buffer around the incoming guess:
-    # buf[n, k, l] = img_b[oy + k, ox + l] with (ox, oy) =
-    # floor(pts + guess) - radius - margin
+    # resident search region around the incoming guess: rows exact at
+    # the integer anchor, the 2-block (256-lane) column superset
+    # narrowed to the window's true column range by one exact
+    # interpolation matmul (iterations then read a (S, Sc) buffer
+    # instead of (S, 256) — 6x less traffic per iteration)
     M = margin
     S = w + 2 * M + 2
-    anchor = jnp.floor(pts_level + guess)  # (N, 2) int-valued
+    Sc = w + 2 * M + 1
+    anchor = jnp.floor(pts_level + guess)
     origin = anchor - (radius + M)
-
-    def one(o):
-        return jax.lax.dynamic_slice(
-            img_b, (o[1].astype(jnp.int32), o[0].astype(jnp.int32)), (S, S)
-        )
-
-    buf = jax.vmap(one)(origin).astype(jnp.float32)  # (N, S, S)
-    g_frac = ((pts_level + guess) - anchor).astype(jnp.float32)  # in [0, 1)
+    oy = origin[..., 1].astype(jnp.int32)
+    ox = origin[..., 0].astype(jnp.int32)
+    obx = ox // LANE
+    rem = (ox - obx * LANE).astype(jnp.float32)  # (B, N) integer-valued
+    wide = _gather_blocks(img_b, oy, obx, S)  # (B, N, S, 256)
+    Cr = _tap2(rem, Sc, 2 * LANE)  # one-hot (rem is integral) — exact
+    buf = _bmm(wide, Cr, (1, 1), jax.lax.Precision.HIGHEST)  # (B,N,S,Sc)
+    g_frac = ((pts_level + guess) - anchor).astype(jnp.float32)  # (B, N, 2)
 
     def body(_, d_rel):
-        # sample positions: pts + guess + d_rel + [-r .. r+1]
-        # buffer coords: (M + g_frac + d_rel) + [0 .. w+1]
-        z = g_frac + d_rel  # (N, 2)
-        zi = jnp.clip(jnp.floor(z), -M, M)
-        zf = z - zi  # (N, 2) in [0, 1) when unclamped
-        sel_y = (zi[:, 1] + M).astype(jnp.int32)  # 0 .. 2M
-        sel_x = (zi[:, 0] + M).astype(jnp.int32)
-        # separable shift-select: rows then columns — 2*(2M+1) fused
-        # terms instead of (2M+1)^2 (the joint form defeats XLA's
-        # fusion staging and re-reads the buffer from HBM per term)
-        rows = jnp.zeros((buf.shape[0], w + 1, buf.shape[2]), buf.dtype)
-        for dy in range(2 * M + 1):
-            hit = (sel_y == dy)[:, None, None]
-            rows = rows + jnp.where(hit, buf[:, dy : dy + w + 1, :], 0.0)
-        big = jnp.zeros((buf.shape[0], w + 1, w + 1), buf.dtype)
-        for dx in range(2 * M + 1):
-            hit = (sel_x == dx)[:, None, None]
-            big = big + jnp.where(hit, rows[:, :, dx : dx + w + 1], 0.0)
-        fx = zf[:, 0, None, None]
-        fy = zf[:, 1, None, None]
-        patch_b = (
-            big[:, :-1, :-1] * (1 - fx) * (1 - fy)
-            + big[:, :-1, 1:] * fx * (1 - fy)
-            + big[:, 1:, :-1] * (1 - fx) * fy
-            + big[:, 1:, 1:] * fx * fy
+        # sample positions inside buf: rows M + zy + [0..w), cols
+        # M + zx + [0..w)
+        z = jnp.clip(g_frac + d_rel, -(M - 1.0), M - 1.0)
+        patch_b = _sample_windows(
+            buf, M + z[..., 1], M + z[..., 0], w, w, precision,
         )
         e = patch_b - t
-        bx = jnp.sum(ix * e, axis=(1, 2))
-        by = jnp.sum(iy * e, axis=(1, 2))
+        bx = jnp.sum(ix * e, axis=(-2, -1))
+        by = jnp.sum(iy * e, axis=(-2, -1))
         du = (gyy * bx - gxy * by) / det_safe
         dv = (gxx * by - gxy * bx) / det_safe
         step = jnp.stack([du, dv], axis=-1)
-        step = jnp.where(inv_ok[:, None], step, 0.0)
-        d_new = d_rel - step
-        # keep the iterate inside the resident buffer
-        return jnp.clip(d_new, -(M - 1.0), M - 1.0)
+        step = jnp.where(inv_ok[..., None], step, 0.0)
+        return jnp.clip(d_rel - step, -(M - 1.0), M - 1.0)
 
     d_rel = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(guess))
     return guess + d_rel
+
+
+# ---------------------------------------------------------------------------
+# coarse stage: global SAD shift + local cost volume
+
+
+def _global_shift(a: jnp.ndarray, b: jnp.ndarray, D: int) -> jnp.ndarray:
+    """Integer global translation per pair by full-image SAD argmin
+    over (2D+1)^2 shifts at a tiny pyramid level. a, b: (B, h, w) f32.
+    Returns (B, 2) f32 xy flow (a->b motion: b ~ a shifted BY flow)."""
+    B, h, w = a.shape
+    pb = jnp.pad(b, ((0, 0), (D, D), (D, D)), mode="edge")
+    sads = jnp.stack(
+        [
+            jnp.mean(jnp.abs(a - pb[:, dy : dy + h, dx : dx + w]),
+                     axis=(-2, -1))
+            for dy in range(2 * D + 1)
+            for dx in range(2 * D + 1)
+        ],
+        axis=-1,
+    )  # (B, (2D+1)^2); shift (dy,dx) tests flow (dx-D, dy-D)
+    best = jnp.argmin(sads, axis=-1)
+    gy = best // (2 * D + 1) - D
+    gx = best % (2 * D + 1) - D
+    return jnp.stack([gx, gy], axis=-1).astype(jnp.float32)
+
+
+def _coarse_init(pyr: list[jnp.ndarray], lvl_vol: int, lvl_glob: int,
+                 pts: jnp.ndarray, D_glob: int) -> jnp.ndarray:
+    """Per-point flow init (level-0 px) from the coarse stage.
+
+    pyr: per-level (B+1-frame or pair) images; here each entry is a
+    tuple (a, b) of (B, h, w) f32 level images. pts: (N, 2) level-0
+    xy. Returns (B, N, 2) flow in level-0 px."""
+    a_g, b_g = pyr[lvl_glob]
+    g = _global_shift(a_g, b_g, D_glob)  # (B, 2) @ lvl_glob px
+
+    a, b = pyr[lvl_vol]
+    B, h, w = a.shape
+    scale_gl = float(2 ** (lvl_glob - lvl_vol))
+    gi = jnp.round(g * scale_gl).astype(jnp.int32)  # (B, 2) @ lvl_vol
+    max_shift = int(D_glob * scale_gl)
+
+    # un-shift b by the global flow: value at (y,x) <- b[y+gy, x+gx]
+    pb = jnp.pad(
+        b, ((0, 0), (max_shift, max_shift), (max_shift, max_shift)),
+        mode="edge",
+    )
+
+    def unshift(bi, gxy):
+        return jax.lax.dynamic_slice(
+            bi, (max_shift + gxy[1], max_shift + gxy[0]), (h, w)
+        )
+
+    b0 = jax.vmap(unshift)(pb, gi)
+
+    # SAD cost volume over +-D with a (2*VOL_BOX+1)^2 box filter
+    D = VOL_D
+    K = 2 * D + 1
+    pb0 = jnp.pad(b0, ((0, 0), (D, D), (D, D)), mode="edge")
+    vol = jnp.stack(
+        [
+            jnp.abs(a - pb0[:, dy : dy + h, dx : dx + w])
+            for dy in range(K)
+            for dx in range(K)
+        ],
+        axis=1,
+    )  # (B, K*K, h, w)
+    vp = jnp.pad(
+        vol, ((0, 0), (0, 0), (VOL_BOX, VOL_BOX), (VOL_BOX, VOL_BOX)),
+        mode="edge",
+    )
+    r = sum(vp[:, :, i : i + h, :] for i in range(2 * VOL_BOX + 1))
+    cost = sum(r[:, :, :, i : i + w] for i in range(2 * VOL_BOX + 1))
+
+    best = jnp.argmin(cost, axis=1)  # (B, h, w) in [0, K*K)
+    # clamp the argmin one cell into the interior so parabola
+    # neighbors exist, then read the 5-point stencil with weighted
+    # reductions (take_along_axis over the volume axis hits XLA's
+    # slow elementwise-gather path)
+    by = jnp.clip(best // K, 1, K - 2)
+    bx = jnp.clip(best % K, 1, K - 2)
+    onehot = (
+        jnp.arange(K * K, dtype=jnp.int32)[None, :, None, None]
+        == (by * K + bx)[:, None]
+    ).astype(cost.dtype)
+
+    def at(off):
+        return jnp.sum(cost * jnp.roll(onehot, off, axis=1), axis=1)
+
+    c0 = at(0)
+
+    def parab(cm, cp):
+        denom = cm - 2.0 * c0 + cp
+        safe = jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0)
+        sub = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (cm - cp) / safe, 0.0)
+        return jnp.clip(sub, -0.6, 0.6)
+
+    sx = parab(at(-1), at(1))
+    sy = parab(at(-K), at(K))
+    flow = jnp.stack(
+        [bx.astype(jnp.float32) - D + sx, by.astype(jnp.float32) - D + sy],
+        axis=-1,
+    )  # (B, h, w, 2) @ lvl_vol px
+    flow = flow + gi[:, None, None, :].astype(jnp.float32)
+
+    # bilinear-sample the flow at the grid points via one matmul
+    scale = float(2**lvl_vol)
+    p = pts / scale
+    px = jnp.clip(p[:, 0], 0.0, w - 1.001)
+    py = jnp.clip(p[:, 1], 0.0, h - 1.001)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = (px - x0)[:, None]
+    fy = (py - y0)[:, None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    q = jnp.arange(h * w, dtype=jnp.int32)[None, :]
+
+    def oh(yi, xi):
+        return (q == (yi * w + xi)[:, None]).astype(jnp.float32)
+
+    Wmat = (
+        oh(y0i, x0i) * (1 - fx) * (1 - fy)
+        + oh(y0i, x0i + 1) * fx * (1 - fy)
+        + oh(y0i + 1, x0i) * (1 - fx) * fy
+        + oh(y0i + 1, x0i + 1) * fx * fy
+    )  # (N, h*w)
+    flat = flow.reshape(B, h * w, 2)
+    sampled = jnp.einsum(
+        "nq,bqc->bnc", Wmat, flat,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return sampled * scale  # level-0 px
+
+
+# ---------------------------------------------------------------------------
+# full tracker core
+
+
+def _fine_plan(levels: int, iters: int) -> list[tuple[int, int, int]]:
+    """[(level, iters, margin)] finest-last. Entry level gets the wide
+    margin (absorbs coarse-init error); the finest level gets the most
+    iterations (subpixel accuracy)."""
+    n_fine = min(3, levels)
+    plan = []
+    for k, lvl in enumerate(range(n_fine - 1, -1, -1)):
+        if k == 0:
+            plan.append((lvl, 3 if n_fine > 1 else min(iters, 8), MARGIN_ENTRY))
+        elif lvl > 0:
+            plan.append((lvl, 2, MARGIN_FINE))
+        else:
+            plan.append((0, min(iters, 5), MARGIN_FINE))
+    return plan
+
+
+def _lk_core(pyr_pairs: list[tuple[jnp.ndarray, jnp.ndarray]],
+             pts: jnp.ndarray, levels: int, radius: int,
+             iters: int) -> jnp.ndarray:
+    """Shared tracker body over per-level (img_a, img_b) batches."""
+    B = pyr_pairs[0][0].shape[0]
+    plan = _fine_plan(levels, iters)
+    entry = plan[0][0]
+
+    if levels > entry + 1:
+        lvl_glob = levels - 1
+        lvl_vol = max(entry + 1, lvl_glob - 2)
+        pairs = {
+            lvl: (pyr_pairs[lvl][0].astype(jnp.float32),
+                  pyr_pairs[lvl][1].astype(jnp.float32))
+            for lvl in {lvl_glob, lvl_vol}
+        }
+        hg = pyr_pairs[lvl_glob][0].shape[-2:]
+        D_glob = max(2, min(hg) // 3)
+        d = _coarse_init(pairs, lvl_vol, lvl_glob, pts, D_glob)  # (B, N, 2)
+    else:
+        d = jnp.zeros((B,) + pts.shape, jnp.float32)
+
+    for lvl, it_l, m_l in plan:
+        scale = float(2**lvl)
+        d = _lk_level(
+            pyr_pairs[lvl][0], pyr_pairs[lvl][1], pts / scale, d / scale,
+            radius, it_l, m_l, precision=jax.lax.Precision.HIGHEST,
+        ) * scale
+    return pts[None] + d
+
+
+def _lk_pairs_core(imgs_a: jnp.ndarray, imgs_b: jnp.ndarray,
+                   pts: jnp.ndarray, levels: int, radius: int,
+                   iters: int) -> jnp.ndarray:
+    """Track pts from imgs_a[i] to imgs_b[i]: (B, H, W) x2 + (N, 2)
+    -> (B, N, 2) tracked positions."""
+    pyr_a = [_pad_lanes(l) for l in build_pyramid(imgs_a, levels)]
+    pyr_b = [_pad_lanes(l) for l in build_pyramid(imgs_b, levels)]
+    return _lk_core(list(zip(pyr_a, pyr_b)), pts, levels, radius, iters)
+
+
+def _lk_video_core(frames: jnp.ndarray, pts: jnp.ndarray, levels: int,
+                   radius: int, iters: int) -> jnp.ndarray:
+    """Track consecutive pairs of a frame block with ONE shared
+    pyramid per frame (each interior frame serves two pairs)."""
+    pyr = [_pad_lanes(l) for l in build_pyramid(frames, levels)]
+    return _lk_core(
+        [(l[:-1], l[1:]) for l in pyr], pts, levels, radius, iters
+    )
+
+
+# ---------------------------------------------------------------------------
+# public API
 
 
 def lk_track(
@@ -355,7 +541,9 @@ def lk_track(
     pyramid depth to the image size."""
     if levels is None:
         levels = auto_levels(img_a.shape[0], img_a.shape[1])
-    return _lk_track_jit(img_a, img_b, pts, levels, radius, iters)
+    return _lk_track_pairs_jit(
+        img_a[None], img_b[None], pts, levels, radius, iters
+    )[0]
 
 
 def lk_track_pairs(
@@ -366,9 +554,7 @@ def lk_track_pairs(
     radius: int = LK_RADIUS,
     iters: int = LK_ITERS,
 ) -> jnp.ndarray:
-    """Batched tracking of independent pairs: (B, H, W) x2 -> (B, N, 2).
-    For consecutive video frames prefer lk_track_video (shares each
-    frame's pyramid between its two pairs)."""
+    """Batched tracking of independent pairs: (B, H, W) x2 -> (B, N, 2)."""
     if levels is None:
         levels = auto_levels(imgs_a.shape[1], imgs_a.shape[2])
     return _lk_track_pairs_jit(imgs_a, imgs_b, pts, levels, radius, iters)
@@ -376,9 +562,9 @@ def lk_track_pairs(
 
 @partial(jax.jit, static_argnames=("levels", "radius", "iters"))
 def _lk_track_pairs_jit(imgs_a, imgs_b, pts, levels, radius, iters):
-    return jax.vmap(
-        lambda a, b: _lk_track_jit(a, b, pts, levels, radius, iters)
-    )(imgs_a, imgs_b)
+    return _lk_pairs_core(
+        imgs_a, imgs_b, jnp.asarray(pts, jnp.float32), levels, radius, iters
+    )
 
 
 def lk_track_video(
@@ -390,73 +576,23 @@ def lk_track_video(
     grid_step: int | None = None,
 ) -> jnp.ndarray:
     """Track the shared grid across all consecutive pairs of a frame
-    block: (B, H, W) -> (B-1, N, 2). Each frame's pyramid is built
-    once (the pair-wise API rebuilds interior frames' pyramids twice —
-    pyramid construction dominates tracking HBM traffic). u8 input is
-    converted on device (4x less host->device transfer).
-
-    pts=None uses the reference feature grid (grid_step; auto from the
-    resolution) as a COMPILE-TIME constant, enabling the gather-free
-    static template extraction; an explicit pts array takes the
-    dynamic path."""
+    block: (B, H, W) -> (B-1, N, 2). pts=None uses the reference
+    feature grid (grid_step; auto from the resolution)."""
     if levels is None:
         levels = auto_levels(frames.shape[1], frames.shape[2])
     if pts is None:
         step = grid_step or auto_grid_step(frames.shape[2])
-        grid = (frames.shape[2], frames.shape[1], step)
-        return _lk_track_video_static_jit(frames, grid, levels, radius, iters)
+        pts = jnp.asarray(
+            grid_points(frames.shape[2], frames.shape[1], step), jnp.float32
+        )
     return _lk_track_video_jit(frames, pts, levels, radius, iters)
-
-
-@partial(jax.jit, static_argnames=("grid", "levels", "radius", "iters"))
-def _lk_track_video_static_jit(frames, grid, levels, radius, iters):
-    static_pts = grid_points(*grid)
-    pts = jnp.asarray(static_pts, jnp.float32)
-    return _lk_track_video_core(
-        frames, pts, levels, radius, iters, static_pts=static_pts
-    )
-
-
-def _lk_track_video_core(frames, pts, levels, radius, iters, static_pts=None):
-    # one pyramid + (small-level) edge-pad per FRAME (serves 2 pairs)
-    pyr = [_pad_level(l, radius) for l in build_pyramid(frames, levels)]
-    B = frames.shape[0]
-    d = jnp.zeros((B - 1,) + pts.shape, jnp.float32)
-    for lvl in range(levels - 1, -1, -1):
-        scale = jnp.float32(2.0**lvl)
-        imgs, pad = pyr[lvl]
-        it_l, m_l = _level_schedule(lvl, levels, iters)
-        templates = None
-        if static_pts is not None:
-            # gather-free template extraction for compile-time grids
-            try:
-                templates = _static_template_patches(
-                    imgs[:-1], static_pts / (2.0**lvl) + pad, radius
-                )
-            except ValueError:
-                templates = None
-        if templates is None:
-            lk = jax.vmap(
-                lambda a, b, g: _lk_level(
-                    a, b, pts / scale + pad, g, radius, it_l, margin=m_l
-                ),
-                in_axes=(0, 0, 0),
-            )
-            d = lk(imgs[:-1], imgs[1:], d / scale) * scale
-        else:
-            lk = jax.vmap(
-                lambda a, b, g, t: _lk_level(
-                    a, b, pts / scale + pad, g, radius, it_l, t, margin=m_l
-                ),
-                in_axes=(0, 0, 0, 0),
-            )
-            d = lk(imgs[:-1], imgs[1:], d / scale, templates) * scale
-    return pts[None] + d
 
 
 @partial(jax.jit, static_argnames=("levels", "radius", "iters"))
 def _lk_track_video_jit(frames, pts, levels, radius, iters):
-    return _lk_track_video_core(frames, pts, levels, radius, iters)
+    return _lk_video_core(
+        frames, jnp.asarray(pts, jnp.float32), levels, radius, iters
+    )
 
 
 def lk_track_video_chunked(
@@ -469,12 +605,10 @@ def lk_track_video_chunked(
     grid_step: int | None = None,
 ) -> jnp.ndarray:
     """Track (T, H, W) consecutive frames -> (T-1, N, 2) in ONE
-    dispatch: `lax.map` over chunk-sized blocks inside the jit. The
-    remote-dispatch overhead of this environment is ~30 ms per call —
-    per-block dispatching dominates wall-clock for long clips.
+    dispatch: `lax.map` over chunk-sized blocks inside the jit (the
+    remote-dispatch overhead of this environment is ~30 ms per call).
     Requires (T-1) % chunk == 0 (callers pad by repeating the last
-    frame; repeated frames track to zero flow). pts=None: static-grid
-    fast path (see lk_track_video)."""
+    frame; repeated frames track to zero flow)."""
     if levels is None:
         levels = auto_levels(frames.shape[1], frames.shape[2])
     T = frames.shape[0]
@@ -482,72 +616,25 @@ def lk_track_video_chunked(
         raise ValueError(f"(T-1)={T - 1} must be a multiple of chunk={chunk}")
     if pts is None:
         step = grid_step or auto_grid_step(frames.shape[2])
-        grid = (frames.shape[2], frames.shape[1], step)
-        return _lk_track_video_chunked_jit(
-            frames, None, chunk, levels, radius, iters, grid
+        pts = jnp.asarray(
+            grid_points(frames.shape[2], frames.shape[1], step), jnp.float32
         )
-    return _lk_track_video_chunked_jit(
-        frames, pts, chunk, levels, radius, iters, None
-    )
+    return _lk_track_video_chunked_jit(frames, pts, chunk, levels, radius, iters)
 
 
-@partial(jax.jit, static_argnames=("chunk", "levels", "radius", "iters", "grid"))
-def _lk_track_video_chunked_jit(frames, pts, chunk, levels, radius, iters, grid=None):
+@partial(jax.jit, static_argnames=("chunk", "levels", "radius", "iters"))
+def _lk_track_video_chunked_jit(frames, pts, chunk, levels, radius, iters):
     T, H, W = frames.shape
     n_chunks = (T - 1) // chunk
     starts = jnp.arange(n_chunks) * chunk
-    static_pts = grid_points(*grid) if grid is not None else None
-    if pts is None:
-        pts = jnp.asarray(static_pts, jnp.float32)
+    pts = jnp.asarray(pts, jnp.float32)
 
     def one(start):
         blk = jax.lax.dynamic_slice(frames, (start, 0, 0), (chunk + 1, H, W))
-        return _lk_track_video_core(
-            blk, pts, levels, radius, iters, static_pts=static_pts
-        )
+        return _lk_video_core(blk, pts, levels, radius, iters)
 
     out = jax.lax.map(one, starts)  # (n_chunks, chunk, N, 2)
     return out.reshape(T - 1, pts.shape[0], 2)
-
-
-#: levels whose min dimension exceeds this skip the edge-pad copy:
-#: copying a padded full-res image would double the pyramid's HBM
-#: traffic, and at fine levels the feature grid's own margin keeps
-#: windows interior (dynamic_slice clamping can then only affect
-#: tracks that wander to the border — absorbed by the robust loss).
-PAD_MAX_DIM = 512
-
-
-def _pad_level(img: jnp.ndarray, radius: int) -> tuple[jnp.ndarray, int]:
-    """Edge-pad small pyramid levels; returns (image, applied_pad).
-    The pad must cover the search-buffer extent (radius + LK_MARGIN)."""
-    if min(img.shape[-2], img.shape[-1]) > PAD_MAX_DIM:
-        return img, 0
-    pad = radius + LK_MARGIN + 2
-    cfg = [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)]
-    return jnp.pad(img, cfg, mode="edge"), pad
-
-
-@partial(jax.jit, static_argnames=("levels", "radius", "iters"))
-def _lk_track_jit(
-    img_a: jnp.ndarray,
-    img_b: jnp.ndarray,
-    pts: jnp.ndarray,
-    levels: int,
-    radius: int,
-    iters: int,
-) -> jnp.ndarray:
-    pyr_a = [_pad_level(l, radius) for l in build_pyramid(img_a, levels)]
-    pyr_b = [_pad_level(l, radius) for l in build_pyramid(img_b, levels)]
-    d = jnp.zeros_like(pts, dtype=jnp.float32)
-    for lvl in range(levels - 1, -1, -1):
-        scale = 2.0**lvl
-        (a, pad), (b, _) = pyr_a[lvl], pyr_b[lvl]
-        it_l, m_l = _level_schedule(lvl, levels, iters)
-        d = _lk_level(
-            a, b, pts / scale + pad, d / scale, radius, it_l, margin=m_l
-        ) * scale
-    return pts + d
 
 
 # ---------------------------------------------------------------------------
@@ -626,8 +713,7 @@ class VideoSource:
 # full tracking stage
 
 
-#: frames per device tracking launch (block + 1 frames resident;
-#: 2.7k f32 pyramids are ~29 MB/frame so 16 frames ~ 0.5 GB)
+#: frames per device tracking launch
 TRACK_BLOCK = 16
 
 
@@ -645,10 +731,10 @@ def track_frames(
     """Track every consecutive frame pair in [frame_begin, frame_end)
     and feed `problem.set_track_result` (ref: core_testcode.cpp:97-162).
 
-    method: "lk" (TPU pyramidal LK, default: frames decode on host in
-    blocks, ship as u8, and every block's pairs track in one launch
-    with per-frame pyramids shared) or "dis" (host cv2 DIS dense flow
-    sampled at the grid — the reference's tracker, for cross-validation).
+    method: "lk" (TPU tracker, default: frames decode on host in
+    blocks, ship as u8, and every block's pairs track in one launch)
+    or "dis" (host cv2 DIS dense flow sampled at the grid — the
+    reference's tracker, for cross-validation).
     """
     src = VideoSource(video_path)
     pts = grid_points(src.width, src.height, grid_step)
