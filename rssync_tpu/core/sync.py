@@ -9,16 +9,25 @@ src/core_support/backtrack.cpp:3-13). Structure:
   init:   motion_vec per frame from 200-hypothesis RANSAC, var_k from
           GuessK — both at the initial delay (ref :218-223).
   loop (<= 400 outer iterations, ref :309):
-    1. per-frame L-BFGS on the 3-vector translation direction at the
-       current delay (ref :262-296, ensmallen L_BFGS with
-       MaxIterations=200, MinGradientNorm=1e-4) — here a custom
-       *batched* L-BFGS vmapped over frames, with the epipolar matrix P
-       hoisted out of the inner loop (it depends on delay only — the
-       reference recomputes it every objective call).
+    1. per-frame refinement of the 3-vector translation direction at
+       the current delay (ref :262-296, ensmallen L_BFGS with
+       MaxIterations=200, MinGradientNorm=1e-4). Default here: a few
+       *IRLS* rounds — the robust loss is scale-invariant in M, so its
+       stationary points on the unit sphere are exactly the
+       fixed points of "smallest eigenvector of A = sum_n w_n P_n
+       P_n^T with w_n = 1/(1+r_n^2)", solved batched over frames by
+       adjugate inverse iteration on the 3x3 systems (documented
+       deviation: same fixed points, branch-free, ~50x fewer
+       sequential device steps than the reference's L-BFGS). The
+       faithful batched L-BFGS survives as motion_opt="lbfgs".
     2. one Nesterov-momentum (beta=0.3) Armijo-backtracked gradient
        step on the delay (hypers 2e-4, 0.1, 1e-3, 10; ref :225-226,
-       :298-305). The uninitialized `delay_v` of the reference
-       (:261, UB) is initialized to 0 per SURVEY §2.1.
+       :298-305). All 10 trial step sizes are known in advance
+       (t0 * decay^k), so the line search evaluates every trial in ONE
+       batched call and selects the first Armijo-satisfying one —
+       bit-identical selection to the reference's sequential decay
+       loop. The uninitialized `delay_v` of the reference (:261, UB)
+       is initialized to 0 per SURVEY §2.1.
     3. stop after 6 consecutive steps < 1e-4 or when the delay leaves
        search_center +- search_radius (ref :316-328).
 
@@ -27,6 +36,10 @@ of the reference's central difference with step 1e-6 (:96-97) — the
 numeric-diff convention cannot survive f32, and parity is defined on
 the final offset (SURVEY §7 hard-parts). Everything is one jitted
 program per window shape; windows batch via vmap (see parallel/).
+
+Observability: SyncResult carries per-outer-iteration (delay, step)
+trace buffers — the batched-mode equivalent of the reference's
+per-iteration stderr line (ref :330).
 """
 
 from __future__ import annotations
@@ -54,6 +67,14 @@ DELAY_MOMENTUM = 0.3           # delay_b (ref :260)
 OUTER_MAX_ITERS = 400          # ref :309
 CONVERGE_STEP = 1e-4           # ref :316
 CONVERGE_COUNT = 5             # ref :321 (`> 5` -> 6 consecutive)
+
+#: IRLS motion rounds per outer iteration (deviation from the
+#: reference's run-to-convergence L-BFGS; the outer loop re-enters
+#: with a warm M, so a few rounds per iteration track the same fixed
+#: point — validated by the end-to-end accuracy tests)
+MOTION_IRLS_ITERS = 3
+#: inverse-iteration rounds per IRLS weight update
+IRLS_INVIT_ROUNDS = 2
 
 
 def frame_loss(P_f: jnp.ndarray, M_f: jnp.ndarray, var_k_f) -> jnp.ndarray:
@@ -223,32 +244,105 @@ def batched_lbfgs(
     return st.x
 
 
+# --- batched IRLS motion refinement ----------------------------------------
+
+
+def _adjugate_apply_sym3(A: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """adj(A) @ v for batched symmetric (..., 3, 3) A — one inverse-
+    iteration step up to scale (det division folds into the subsequent
+    normalize)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e = A[..., 1, 1], A[..., 1, 2]
+    f = A[..., 2, 2]
+    m00 = d * f - e * e
+    m01 = c * e - b * f
+    m02 = b * e - c * d
+    m11 = a * f - c * c
+    m12 = b * c - a * e
+    m22 = a * d - b * b
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [
+            m00 * x + m01 * y + m02 * z,
+            m01 * x + m11 * y + m12 * z,
+            m02 * x + m12 * y + m22 * z,
+        ],
+        axis=-1,
+    )
+
+
+def motion_irls(
+    P: jnp.ndarray, M: jnp.ndarray, var_k: jnp.ndarray,
+    iters: int = MOTION_IRLS_ITERS,
+) -> jnp.ndarray:
+    """Refine all frames' translation directions at once by IRLS.
+
+    The per-frame robust loss sum_n log1p((P_n.M)^2 k^2 / |M|^2)
+    (ref :99-110) is scale-invariant in M; on the unit sphere its
+    stationary points satisfy A(M) M = lambda_min M with
+    A = sum_n w_n P_n P_n^T, w_n = 1/(1 + r_n^2) — so the minimizer is
+    a fixed point of "reweight, then take the smallest eigenvector".
+    Each eigenvector solve is adjugate inverse iteration on a (shifted)
+    3x3 — branch-free, batched over frames, no line search. Replaces
+    the role of the reference's per-frame ensmellen L-BFGS
+    (ref :262-296); same fixed points, different iterates (documented
+    deviation, SURVEY §7 hard-parts).
+
+    P: (3, F, N) SoA epipolar rows (padded columns zero — they get
+    w = 1 but contribute 0 to A). M: (F, 3) warm start. var_k: (F,).
+    Returns (F, 3) unit directions, sign-aligned with the warm start.
+    """
+    eye = jnp.eye(3, dtype=P.dtype)
+
+    def body(M_cur, _):
+        Mn = M_cur * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(M_cur * M_cur, axis=-1, keepdims=True), 1e-30)
+        )
+        u = jnp.einsum("cfn,fc->fn", P, Mn)
+        w = 1.0 / (1.0 + u * u * (var_k * var_k)[:, None])
+        A = jnp.einsum("cfn,fn,dfn->fcd", P, w, P)
+        tr = A[..., 0, 0] + A[..., 1, 1] + A[..., 2, 2]
+        B = A + (1e-6 * tr / 3.0 + 1e-30)[:, None, None] * eye
+        v = Mn
+        for _ in range(IRLS_INVIT_ROUNDS):
+            v = _adjugate_apply_sym3(B, v)
+            v = v * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30)
+            )
+        # keep the antipodal sign stable across iterations
+        flip = jnp.sum(v * Mn, axis=-1, keepdims=True) < 0.0
+        return jnp.where(flip, -v, v), None
+
+    M_out, _ = jax.lax.scan(body, M, None, length=iters)
+    return M_out
+
+
 # --- delay line search (Backtrack) -----------------------------------------
 
 
 def _backtrack_step(f_only, x0, fval, grad):
     """One Backtrack::Step (ref: src/core_support/backtrack.cpp:3-13):
-    returns -t * grad with t from Armijo backtracking. If no trial
-    satisfies the condition, t has decayed through all iterations
-    (effectively zero step), exactly like the reference."""
+    returns -t * grad with t from Armijo backtracking.
+
+    The reference tries t = t0 * decay^k sequentially and accepts the
+    first k with sufficient decrease; every trial point is known in
+    advance, so all BT_MAX_ITERS trials evaluate in ONE vmapped call
+    and the accepted t is the first satisfying one — identical
+    selection, ~10x fewer sequential device steps. If no trial
+    satisfies, t has decayed through all iterations (effectively zero
+    step), exactly like the reference."""
     m = grad * grad
-
-    def cond(carry):
-        i, t, done = carry
-        return (i < BT_MAX_ITERS) & ~done
-
-    def body(carry):
-        i, t, done = carry
-        v1 = f_only(x0 - t * grad)
-        ok = (fval - v1) >= t * BT_SUFFICIENT_DECREASE * m
-        t_new = jnp.where(ok, t, t * BT_DECAY)
-        return i + 1, t_new, ok
-
-    _, t, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.asarray(0, jnp.int32),
-         jnp.asarray(BT_INITIAL_STEP, x0.dtype), jnp.asarray(False)),
+    ts = (
+        BT_INITIAL_STEP
+        * jnp.power(BT_DECAY, jnp.arange(BT_MAX_ITERS, dtype=x0.dtype))
+    ).astype(x0.dtype)
+    vals = jax.vmap(lambda t: f_only(x0 - t * grad))(ts)
+    ok = (fval - vals) >= ts * BT_SUFFICIENT_DECREASE * m
+    first = jnp.argmax(ok)
+    t_fail = jnp.asarray(
+        BT_INITIAL_STEP * BT_DECAY ** BT_MAX_ITERS, x0.dtype
     )
+    t = jnp.where(jnp.any(ok), ts[first], t_fail)
     return -t * grad
 
 
@@ -259,6 +353,11 @@ class SyncResult(NamedTuple):
     cost: jnp.ndarray
     delay: jnp.ndarray
     iterations: jnp.ndarray
+    #: per-outer-iteration trace, length OUTER_MAX_ITERS (NaN beyond
+    #: `iterations`) — the batched-mode replacement for the
+    #: reference's per-iteration stderr line (ref :330)
+    trace_delay: jnp.ndarray = None
+    trace_step: jnp.ndarray = None
 
 
 def init_motion(
@@ -278,7 +377,7 @@ def init_motion(
     return M, var_k
 
 
-@partial(jax.jit, static_argnames=("wide",))
+@partial(jax.jit, static_argnames=("wide", "motion_opt"))
 def sync_window(
     table: SplineTable,
     win: TrackWindow,
@@ -287,16 +386,20 @@ def sync_window(
     search_radius,
     key: jax.Array,
     wide: bool = False,
+    motion_opt: str = "irls",
 ) -> SyncResult:
     """Full Sync of one window (ref core_private.cpp:211-334).
 
     Returns (final simple-objective cost, final delay, outer
-    iterations executed). vmap over a leading window axis for batched
-    multi-syncpoint sync.
+    iterations executed, per-iteration delay/step traces). vmap over a
+    leading window axis for batched multi-syncpoint sync.
 
     wide=True (callers must ensure search_center +- search_radius
     stays within WIDE_SMAX knots) uses pre-extracted wide coefficient
     slabs so delay evaluations avoid per-frame band slicing.
+
+    motion_opt: "irls" (default, see motion_irls) or "lbfgs" (the
+    reference-faithful batched L-BFGS run to MinGradientNorm).
     """
     from rssync_tpu.core.problem import make_wide_bands
 
@@ -323,15 +426,20 @@ def sync_window(
 
         return vg
 
+    def refine_motion(P, M):
+        if motion_opt == "irls":
+            return motion_irls(P, M, var_k)
+        return batched_lbfgs(motion_value_and_grad(P), M)
+
     def cond(state):
-        i, delay, v, M, cc, done = state
+        i, delay, v, M, cc, done, tr_d, tr_s = state
         return (i < OUTER_MAX_ITERS) & ~done
 
     def body(state):
-        i, delay, v, M, cc, done = state
+        i, delay, v, M, cc, done, tr_d, tr_s = state
         # 1. motion refinement at current delay (P hoisted)
         P = compute_problem(table, win, delay, bands)
-        M = batched_lbfgs(motion_value_and_grad(P), M)
+        M = refine_motion(P, M)
         # 2. Nesterov-lookahead backtracked delay step (ref :298-305)
         x0 = delay - DELAY_MOMENTUM * v
         fval, grad = delay_vg(x0, M)
@@ -343,8 +451,11 @@ def sync_window(
         done = (cc > CONVERGE_COUNT) | (
             jnp.abs(delay - search_center) > search_radius
         )
-        return i + 1, delay, v, M, cc, done
+        tr_d = tr_d.at[i].set(delay)
+        tr_s = tr_s.at[i].set(step)
+        return i + 1, delay, v, M, cc, done, tr_d, tr_s
 
+    nan = jnp.full((OUTER_MAX_ITERS,), jnp.nan, dtype)
     state = (
         jnp.asarray(0, jnp.int32),
         delay0,
@@ -352,6 +463,13 @@ def sync_window(
         M0,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
+        nan,
+        nan,
     )
-    i, delay, v, M, cc, done = jax.lax.while_loop(cond, body, state)
-    return SyncResult(cost=delay_loss(delay, M), delay=delay, iterations=i)
+    i, delay, v, M, cc, done, tr_d, tr_s = jax.lax.while_loop(
+        cond, body, state
+    )
+    return SyncResult(
+        cost=delay_loss(delay, M), delay=delay, iterations=i,
+        trace_delay=tr_d, trace_step=tr_s,
+    )
