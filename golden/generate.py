@@ -1,0 +1,208 @@
+"""Generate golden parity artifacts from the compiled REFERENCE engine.
+
+Drives golden/librssync_golden.so (the reference's src/core compiled
+unmodified — see golden/README.md) on synthetic scenes with known true
+delay, and writes every comparison tensor to tests/golden/golden.npz:
+
+  - P matrices (opt_compute_problem) at several (frame, delay)
+  - full / simple frame losses + jacobians at fixed (M, var_k)
+  - raw spline samples over the knot range
+  - PreSync best (cost, delay), DebugPreSync cost curve
+  - 4-pass Sync final delays
+
+The artifacts are committed; tests/test_golden.py checks the TPU
+rebuild against them without needing the native build. Deterministic:
+the golden build pins the RANSAC seed and runs serial (rng_override.h).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python golden/generate.py
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, REPO)
+
+from synthetic import make_scene  # noqa: E402
+
+DP = ctypes.POINTER(ctypes.c_double)
+
+
+def _lib():
+    lib = ctypes.CDLL(os.path.join(REPO, "golden", "librssync_golden.so"))
+    lib.golden_create.restype = ctypes.c_void_p
+    lib.golden_destroy.argtypes = [ctypes.c_void_p]
+    lib.golden_set_gyro_fixed.argtypes = [
+        ctypes.c_void_p, DP, ctypes.c_size_t, ctypes.c_double, ctypes.c_double]
+    lib.golden_set_track.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64] + [DP] * 4 + [ctypes.c_size_t])
+    lib.golden_presync.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, DP, DP]
+    lib.golden_sync.argtypes = lib.golden_presync.argtypes
+    lib.golden_debug_presync.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, DP, DP, ctypes.c_int]
+    lib.golden_compute_problem.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_double, DP]
+    lib.golden_compute_problem.restype = ctypes.c_int
+    lib.golden_frame_loss.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_double, DP, ctypes.c_double,
+        DP, DP, DP]
+    lib.golden_frame_loss_simple.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_double, DP, ctypes.c_double]
+    lib.golden_frame_loss_simple.restype = ctypes.c_double
+    lib.golden_spline_eval.argtypes = [ctypes.c_void_p, ctypes.c_double, DP]
+    lib.golden_sample_rate.argtypes = [ctypes.c_void_p]
+    lib.golden_sample_rate.restype = ctypes.c_double
+    lib.golden_quats_start.argtypes = [ctypes.c_void_p]
+    lib.golden_quats_start.restype = ctypes.c_double
+    return lib
+
+
+def _dp(a):
+    return np.ascontiguousarray(a, np.float64).ctypes.data_as(DP)
+
+
+class Golden:
+    """ctypes wrapper over one reference SyncProblem."""
+
+    def __init__(self, lib, scene):
+        self.lib = lib
+        self.p = lib.golden_create()
+        q = np.ascontiguousarray(scene.quats_wxyz, np.float64)
+        assert q.shape[1] == 4
+        self._keep = [q]
+        lib.golden_set_gyro_fixed(
+            self.p, _dp(q), q.shape[0], float(scene.gyro_rate),
+            float(scene.gyro_ts[0]))
+        self.counts = {}
+        for f, (ts_a, ts_b, rays_a, rays_b) in scene.frames.items():
+            ra = np.ascontiguousarray(np.asarray(rays_a, np.float64))
+            rb = np.ascontiguousarray(np.asarray(rays_b, np.float64))
+            assert ra.shape[1] == 3, ra.shape
+            self.lib.golden_set_track(
+                self.p, f, _dp(ts_a), _dp(ts_b), _dp(ra), _dp(rb), ra.shape[0])
+            self.counts[f] = ra.shape[0]
+
+    def compute_problem(self, frame, delay):
+        out = np.zeros((self.counts[frame], 3), np.float64)
+        n = self.lib.golden_compute_problem(self.p, frame, float(delay), _dp0(out))
+        assert n == self.counts[frame]
+        return out
+
+    def frame_loss(self, frame, delay, M, var_k):
+        loss = ctypes.c_double()
+        dg = ctypes.c_double()
+        jm = np.zeros(3, np.float64)
+        self.lib.golden_frame_loss(
+            self.p, frame, float(delay), _dp(np.asarray(M, np.float64)),
+            float(var_k), ctypes.byref(loss), ctypes.byref(dg), _dp0(jm))
+        return loss.value, dg.value, jm
+
+    def frame_loss_simple(self, frame, delay, M, var_k):
+        return self.lib.golden_frame_loss_simple(
+            self.p, frame, float(delay), _dp(np.asarray(M, np.float64)),
+            float(var_k))
+
+    def spline_eval(self, t):
+        out = np.zeros(4, np.float64)
+        self.lib.golden_spline_eval(self.p, float(t), _dp0(out))
+        return out
+
+    def presync(self, initial, fb, fe, step, radius):
+        c = ctypes.c_double()
+        d = ctypes.c_double()
+        self.lib.golden_presync(self.p, initial, fb, fe, step, radius,
+                                ctypes.byref(c), ctypes.byref(d))
+        return c.value, d.value
+
+    def sync(self, initial, fb, fe, center, radius):
+        c = ctypes.c_double()
+        d = ctypes.c_double()
+        self.lib.golden_sync(self.p, initial, fb, fe, center, radius,
+                             ctypes.byref(c), ctypes.byref(d))
+        return c.value, d.value
+
+    def debug_presync(self, initial, fb, fe, radius, n):
+        delays = np.zeros(n, np.float64)
+        costs = np.zeros(n, np.float64)
+        self.lib.golden_debug_presync(self.p, initial, fb, fe, radius,
+                                      _dp0(delays), _dp0(costs), n)
+        return delays, costs
+
+    def close(self):
+        self.lib.golden_destroy(self.p)
+
+
+def _dp0(a):
+    """Pointer into an existing (writable) array — no copy."""
+    assert a.flags["C_CONTIGUOUS"] and a.dtype == np.float64
+    return a.ctypes.data_as(DP)
+
+
+SCENES = {
+    "rot16": dict(seed=8, true_delay=-0.0442, n_frames=16, n_points=80),
+    "trans12": dict(seed=3, true_delay=0.0185, n_frames=12, n_points=60,
+                    translation_speed=0.8),
+}
+
+PROBE_DELAYS = [-0.05, -0.0442, 0.0, 0.013, 0.05]
+PROBE_M = np.array([0.267261, 0.534522, 0.801784])
+PROBE_VARK = 250.0
+
+
+def main():
+    lib = _lib()
+    out = {}
+    for name, cfg in SCENES.items():
+        scene = make_scene(**cfg)
+        g = Golden(lib, scene)
+        F = cfg["n_frames"]
+
+        for d in PROBE_DELAYS:
+            for f in (0, F // 2, F - 2):
+                out[f"{name}/P/f{f}/d{d}"] = g.compute_problem(f, d)
+        for d in (0.0, cfg["true_delay"]):
+            for f in (0, F // 2):
+                loss, dg, jm = g.frame_loss(f, d, PROBE_M, PROBE_VARK)
+                out[f"{name}/loss/f{f}/d{d}"] = np.array(
+                    [loss, dg, *jm])
+                out[f"{name}/loss_simple/f{f}/d{d}"] = np.array(
+                    [g.frame_loss_simple(f, d, PROBE_M, PROBE_VARK)])
+        ts = np.linspace(-5.0, len(scene.quats_wxyz) + 5.0, 97)
+        out[f"{name}/spline/ts"] = ts
+        out[f"{name}/spline/vals"] = np.stack([g.spline_eval(t) for t in ts])
+
+        c, d = g.presync(0.0, 0, F, 0.002, 0.2)
+        out[f"{name}/presync"] = np.array([c, d])
+        dd, cc = g.debug_presync(0.0, 0, F, 0.2, 200)
+        out[f"{name}/debug_presync/delays"] = dd
+        out[f"{name}/debug_presync/costs"] = cc
+
+        delay = d
+        finals = []
+        for _ in range(4):
+            _, delay = g.sync(delay, 0, F - 1, d, 0.2)
+            finals.append(delay)
+        out[f"{name}/sync_delays"] = np.array(finals)
+        print(f"{name}: presync={d:+.4f}  sync={delay:+.6f}  "
+              f"true={cfg['true_delay']:+.6f}  "
+              f"err={abs(delay - cfg['true_delay']) * 1e3:.4f} ms",
+              file=sys.stderr)
+        g.close()
+
+    dst = os.path.join(REPO, "tests", "golden", "golden.npz")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    np.savez_compressed(dst, **out)
+    print(f"wrote {dst} ({len(out)} arrays)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

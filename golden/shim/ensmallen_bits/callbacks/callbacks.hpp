@@ -1,0 +1,2 @@
+// stub: not needed by the shim (see lbfgs/lbfgs.hpp)
+#pragma once

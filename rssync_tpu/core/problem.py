@@ -326,7 +326,10 @@ def _select_and_horner(sub, sub_start, xi, h_in, n):
     below = xi < 0
     above = xi > n - 2
     h_lo = xi.astype(h_in.dtype) + h_in
-    h_hi = (xi - (n - 1)).astype(h_in.dtype) + h_in
+    h_hi = (xi - (n - 1) - (xi >= n).astype(xi.dtype)).astype(
+        h_in.dtype) + h_in  # ref quirk: idx=min(floor(x), n), so h
+    #   measures from knot n (one past the end) once x >= n —
+    #   discontinuous at x == n (minispline.cpp:49-53); replicated
     h = jnp.where(below, h_lo, jnp.where(above, h_hi, h_in))[None]
     cubic = ((dk * h + ck) * h + bk) * h + yk
     quad = (ck * h + bk) * h + yk

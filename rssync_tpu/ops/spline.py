@@ -139,7 +139,10 @@ def eval_spline_packed(
     below = xi < 0
     above = xi > n - 2
     h_lo = xi.astype(h_in.dtype) + h_in
-    h_hi = (xi - (n - 1)).astype(h_in.dtype) + h_in
+    h_hi = (xi - (n - 1) - (xi >= n).astype(xi.dtype)).astype(
+        h_in.dtype) + h_in  # ref quirk: idx=min(floor(x), n), so h
+    #   measures from knot n (one past the end) once x >= n —
+    #   discontinuous at x == n (minispline.cpp:49-53); replicated
     h = jnp.where(below, h_lo, jnp.where(above, h_hi, h_in))[None]
 
     cubic = ((dk * h + ck) * h + bk) * h + yk
@@ -178,7 +181,10 @@ def eval_spline(
     # h for the extrapolation branches: distance from the clamped end
     # knot. |xi - end| is a small int, so f32 is exact here.
     h_lo = (xi - 0).astype(h_in.dtype) + h_in  # = x, for x < 0
-    h_hi = (xi - (n - 1)).astype(h_in.dtype) + h_in  # = x - (n-1)
+    h_hi = (xi - (n - 1) - (xi >= n).astype(xi.dtype)).astype(
+        h_in.dtype) + h_in  # ref quirk: idx=min(floor(x), n), so h
+    #   measures from knot n (one past the end) once x >= n —
+    #   discontinuous at x == n (minispline.cpp:49-53); replicated
     h = jnp.where(below, h_lo, jnp.where(above, h_hi, h_in))[..., None]
 
     cubic = ((dk * h + ck) * h + bk) * h + yk
@@ -232,7 +238,10 @@ def eval_spline_deriv(
     below = xi < 0
     above = xi > n - 2
     h_lo = (xi - 0).astype(h_in.dtype) + h_in
-    h_hi = (xi - (n - 1)).astype(h_in.dtype) + h_in
+    h_hi = (xi - (n - 1) - (xi >= n).astype(xi.dtype)).astype(
+        h_in.dtype) + h_in  # ref quirk: idx=min(floor(x), n), so h
+    #   measures from knot n (one past the end) once x >= n —
+    #   discontinuous at x == n (minispline.cpp:49-53); replicated
     h = jnp.where(below, h_lo, jnp.where(above, h_hi, h_in))[..., None]
     cubic = (3.0 * dk * h + 2.0 * ck) * h + bk
     quad = 2.0 * ck * h + bk

@@ -1,0 +1,187 @@
+"""Golden parity vs the REAL reference engine.
+
+tests/golden/golden.npz is produced by golden/generate.py driving
+librssync_golden.so — the reference's own src/core/core_private.cpp
+compiled unmodified against the shims in golden/shim (see
+golden/README.md). These tests check the TPU rebuild against those
+committed artifacts: P matrices, frame losses + jacobians, raw spline
+samples (including the extrapolation-boundary quirks), PreSync /
+DebugPreSync behavior, and 4-pass Sync delays.
+
+Scene configs must match golden/generate.py::SCENES exactly.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rssync_tpu.core import presync as presync_mod
+from rssync_tpu.core import sync as sync_mod
+from rssync_tpu.core.problem import (
+    build_track_window,
+    compute_problem,
+    make_spline_table,
+)
+from rssync_tpu.ops.spline import eval_spline_packed
+
+from synthetic import make_scene
+
+import jax
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "golden.npz")
+
+# keep in lockstep with golden/generate.py
+SCENES = {
+    "rot16": dict(seed=8, true_delay=-0.0442, n_frames=16, n_points=80),
+    "trans12": dict(seed=3, true_delay=0.0185, n_frames=12, n_points=60,
+                    translation_speed=0.8),
+}
+PROBE_DELAYS = [-0.05, -0.0442, 0.0, 0.013, 0.05]
+PROBE_M = np.array([0.267261, 0.534522, 0.801784])
+PROBE_VARK = 250.0
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+def _problem(name):
+    scene = make_scene(**SCENES[name])
+    table = make_spline_table(scene.quats_wxyz, scene.gyro_rate)
+    frames = sorted(scene.frames)
+    win = build_track_window(
+        [scene.frames[f][0] for f in frames],
+        [scene.frames[f][1] for f in frames],
+        [scene.frames[f][2] for f in frames],
+        [scene.frames[f][3] for f in frames],
+        quats_start=float(scene.gyro_ts[0]),
+        sample_rate=scene.gyro_rate,
+    )
+    return scene, table, win, frames
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_P_matrix_matches_reference(golden, name):
+    scene, table, win, frames = _problem(name)
+    F = SCENES[name]["n_frames"]
+    for d in PROBE_DELAYS:
+        P = np.moveaxis(
+            np.asarray(compute_problem(table, win, jnp.float32(d))), 0, -1
+        )  # (F, N, 3)
+        for f in (0, F // 2, F - 2):
+            ref = golden[f"{name}/P/f{f}/d{d}"]
+            np.testing.assert_allclose(
+                P[f, : ref.shape[0]], ref, atol=5e-5,
+                err_msg=f"{name} frame {f} delay {d}",
+            )
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_frame_loss_matches_reference(golden, name):
+    scene, table, win, frames = _problem(name)
+    F = SCENES[name]["n_frames"]
+    M = jnp.asarray(PROBE_M, jnp.float32)
+
+    for d in (0.0, SCENES[name]["true_delay"]):
+        for f in (0, F // 2):
+            ref = golden[f"{name}/loss/f{f}/d{d}"]
+            ref_simple = golden[f"{name}/loss_simple/f{f}/d{d}"][0]
+            # full and simple overloads agree in the reference
+            np.testing.assert_allclose(ref[0], ref_simple, rtol=1e-12)
+
+            def loss_fn(delay):
+                P = compute_problem(table, win, delay)
+                return sync_mod.frame_loss(P[:, f], M, jnp.float32(PROBE_VARK))
+
+            val, dgrad = jax.value_and_grad(loss_fn)(jnp.float32(d))
+            np.testing.assert_allclose(float(val), ref[0], rtol=5e-4,
+                                       atol=1e-6,
+                                       err_msg=f"{name} f{f} d{d} loss")
+            # reference delay-grad is a central difference (step 1e-6)
+            # in f64; ours is analytic f32
+            np.testing.assert_allclose(
+                float(dgrad), ref[1], rtol=2e-2, atol=5e-3 * abs(ref[1]) + 1e-2,
+                err_msg=f"{name} f{f} d{d} delay grad",
+            )
+
+            def loss_m(m):
+                P = compute_problem(table, win, jnp.float32(d))
+                return sync_mod.frame_loss(P[:, f], m, jnp.float32(PROBE_VARK))
+
+            jm = np.asarray(jax.grad(loss_m)(M))
+            np.testing.assert_allclose(
+                jm, ref[2:], rtol=1e-3, atol=1e-4,
+                err_msg=f"{name} f{f} d{d} motion jac",
+            )
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_spline_matches_reference(golden, name):
+    scene, table, win, frames = _problem(name)
+    ts = golden[f"{name}/spline/ts"]
+    ref = golden[f"{name}/spline/vals"]  # (T, 4)
+    i0 = jnp.asarray(np.floor(ts), jnp.int32)
+    p = jnp.asarray(ts - np.floor(ts), jnp.float32)
+    got = np.asarray(eval_spline_packed(table.coeffs, i0, p)).T  # (T, 4)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_presync_matches_reference(golden, name):
+    scene, table, win, frames = _problem(name)
+    F = SCENES[name]["n_frames"]
+    ref_cost, ref_delay = golden[f"{name}/presync"]
+
+    delays = jnp.asarray(np.arange(-0.2, 0.2, 0.002), jnp.float32)
+    costs = presync_mod.presync_scan(
+        table, win, delays, jax.random.PRNGKey(0)
+    )
+    _, best = presync_mod.presync_best(costs, delays)
+    # RANSAC draws differ between engines; the located coarse minimum
+    # must agree to within two grid bins
+    assert abs(float(best) - ref_delay) <= 0.004 + 1e-9, (best, ref_delay)
+
+    ref_curve = golden[f"{name}/debug_presync/costs"]
+    ref_dd = golden[f"{name}/debug_presync/delays"]
+    dbg_delays = jnp.asarray(ref_dd, jnp.float32)
+    curve = np.asarray(
+        presync_mod.presync_scan(table, win, dbg_delays, jax.random.PRNGKey(1))
+    )
+    # same argmin neighborhood
+    assert abs(int(np.argmin(curve)) - int(np.argmin(ref_curve))) <= 2
+    # same loss-surface shape (RANSAC noise keeps it from being exact)
+    a = (curve - curve.mean()) / curve.std()
+    b = (ref_curve - ref_curve.mean()) / ref_curve.std()
+    assert float(np.mean(a * b)) > 0.99
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_sync_matches_reference(golden, name):
+    scene, table, win_open, frames = _problem(name)
+    F = SCENES[name]["n_frames"]
+    cfg = SCENES[name]
+    ref_finals = golden[f"{name}/sync_delays"]
+    _, ref_presync_delay = golden[f"{name}/presync"]
+
+    # closed frame interval, like the reference Sync (ref :219)
+    winc = build_track_window(
+        [scene.frames[f][0] for f in frames],
+        [scene.frames[f][1] for f in frames],
+        [scene.frames[f][2] for f in frames],
+        [scene.frames[f][3] for f in frames],
+        quats_start=float(scene.gyro_ts[0]),
+        sample_rate=scene.gyro_rate,
+    )
+    delay = jnp.float32(ref_presync_delay)
+    for i in range(4):
+        res = sync_mod.sync_window(
+            table, winc, delay, jnp.float32(ref_presync_delay),
+            jnp.float32(0.2), jax.random.PRNGKey(10 + i),
+        )
+        delay = res.delay
+    got = float(delay)
+    assert abs(got - ref_finals[-1]) < 1.5e-4, (got, ref_finals[-1])
+    assert abs(got - cfg["true_delay"]) < 5e-4
