@@ -12,9 +12,11 @@
 // Scope: ISO-BMFF box walk (moov/trak/mdia/minf/stbl: stsd 'gpmd',
 // stts, stsc, stsz, stco/co64, mdhd), recursive GPMF KLV parse
 // (DEVC -> STRM -> GYRO/SCAL/ORIN/ORIO), SCAL scaling, ORIN/ORIO
-// normalization, stts-spread per-sample timestamps. Matches the Python
-// implementation in rssync_tpu/frontend/telemetry.py bit-for-bit on
-// the supported paths (cross-checked in tests/test_native_gpmf.py).
+// normalization, stts-spread per-sample timestamps; plus CAMM
+// (Google camera-motion metadata) tracks, packet type 2 = angular
+// velocity. Matches the Python implementation in
+// rssync_tpu/frontend/telemetry.py bit-for-bit on the supported paths
+// (cross-checked in tests/test_native_gpmf.py).
 
 #include <cstdint>
 #include <cstdio>
@@ -270,29 +272,36 @@ extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
 
     Span stbl{}, mdhd{};
     bool found = false;
-    size_t toff = moov.payload_off;
-    Box trak;
-    while (next_box(buf, moov.payload_end, &toff, &trak)) {
-      if (std::memcmp(trak.type, "trak", 4) != 0) continue;
-      Span stsd;
-      if (!find_box(buf, trak.payload_off, trak.payload_end,
-                    {"mdia", "minf", "stbl", "stsd"}, 0, &stsd))
-        continue;
-      bool is_gpmd = false;
-      for (size_t i = 0; i + 4 <= stsd.len; ++i)
-        if (std::memcmp(stsd.p + i, "gpmd", 4) == 0) {
-          is_gpmd = true;
-          break;
-        }
-      if (!is_gpmd) continue;
-      if (!find_box(buf, trak.payload_off, trak.payload_end,
-                    {"mdia", "minf", "stbl"}, 0, &stbl))
-        continue;
-      if (!find_box(buf, trak.payload_off, trak.payload_end,
-                    {"mdia", "mdhd"}, 0, &mdhd))
-        continue;
-      found = true;
-      break;
+    bool is_camm = false;
+    // prefer the GoPro 'gpmd' track; fall back to a CAMM
+    // (camera-motion metadata) track — Insta360/Pixel-class cameras
+    for (int pass = 0; pass < 2 && !found; ++pass) {
+      const char* want = pass == 0 ? "gpmd" : "camm";
+      size_t toff = moov.payload_off;
+      Box trak;
+      while (next_box(buf, moov.payload_end, &toff, &trak)) {
+        if (std::memcmp(trak.type, "trak", 4) != 0) continue;
+        Span stsd;
+        if (!find_box(buf, trak.payload_off, trak.payload_end,
+                      {"mdia", "minf", "stbl", "stsd"}, 0, &stsd))
+          continue;
+        bool match = false;
+        for (size_t i = 0; i + 4 <= stsd.len; ++i)
+          if (std::memcmp(stsd.p + i, want, 4) == 0) {
+            match = true;
+            break;
+          }
+        if (!match) continue;
+        if (!find_box(buf, trak.payload_off, trak.payload_end,
+                      {"mdia", "minf", "stbl"}, 0, &stbl))
+          continue;
+        if (!find_box(buf, trak.payload_off, trak.payload_end,
+                      {"mdia", "mdhd"}, 0, &mdhd))
+          continue;
+        found = true;
+        is_camm = pass == 1;
+        break;
+      }
     }
     if (!found) break;
 
@@ -389,6 +398,23 @@ extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
     double start = 0.0;
     for (uint32_t k = 0; k < sample_count; ++k) {
       if (sample_off[k] + sizes[k] > len) { start += durs[k]; continue; }
+      if (is_camm) {
+        // one little-endian packet per sample: u16 reserved, u16 type,
+        // payload; type 2 = angular velocity, 3x f32 rad/s (public
+        // CAMM spec). Host is little-endian, so f32 memcpy suffices.
+        if (sizes[k] >= 16) {
+          const uint8_t* p = buf + sample_off[k];
+          uint16_t typ = uint16_t(p[2]) | (uint16_t(p[3]) << 8);
+          if (typ == 2) {
+            float v[3];
+            std::memcpy(v, p + 4, 12);
+            all_ts.push_back(start);
+            for (int c = 0; c < 3; ++c) all_gyro.push_back(double(v[c]));
+          }
+        }
+        start += durs[k];
+        continue;
+      }
       std::vector<Stream> streams;
       parse_klv(buf, sample_off[k], sample_off[k] + sizes[k], &streams,
                 nullptr);

@@ -24,9 +24,11 @@ from rssync_tpu.ops.robust import clamp_k
 PRESYNC_RANSAC_ITERS = 20
 
 #: delay-grid points evaluated concurrently per lax.map step (peak HBM
-#: ~ chunk x windows x frames x features intermediates; 32 keeps the
-#: reference operating point under ~1 GB while halving sequential steps)
-DELAY_CHUNK = 32
+#: ~ chunk x windows x frames x features intermediates). Swept in
+#: experiments/bench_presync.py: the stage is materialization-bound,
+#: so SMALLER chunks fuse better — 8 beat 32 by ~20% at the reference
+#: operating point while still filling the chip.
+DELAY_CHUNK = 8
 
 
 def cost_with_motion(P: jnp.ndarray, M: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:

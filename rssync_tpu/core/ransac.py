@@ -70,22 +70,26 @@ def guess_motion_from_pairs(
     valid = (jnp.arange(N) < count)[None, :]
     # quartile of the VALID rows (ref :51-52 with n_rows == count):
     # k-th smallest via value bisection — a full jnp.sort of the
-    # feature axis is ~5x more VPU work and dominated PreSync. 24
-    # halvings resolve the quantile to ~range * 6e-8, far below the
-    # f32 noise that already decides near-tied hypotheses.
+    # feature axis is ~2x slower end to end (measured,
+    # experiments/bench_presync.py). The bisection is HBM-bound on
+    # re-reading res2 every round, so the compare buffer is bf16
+    # (same 8-bit exponent as f32 — the ~1e-12..1 squared-residual
+    # range is representable; half the traffic) and 14 halvings
+    # resolve the quantile to ~range * 6e-5 — both far below the
+    # hypothesis-RNG noise that already decides near-tied hypotheses.
     k = jnp.maximum(count, 1) // 4
-    res2m = jnp.where(valid, res2, jnp.inf)
+    res2m = jnp.where(valid, res2, jnp.inf).astype(jnp.bfloat16)
     lo = jnp.zeros((res2.shape[0],), res2.dtype)
     hi = jnp.max(jnp.where(valid, res2, 0.0), axis=-1)
 
     def bisect(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        cnt = jnp.sum(res2m <= mid[:, None], axis=-1)
+        cnt = jnp.sum(res2m <= mid[:, None].astype(jnp.bfloat16), axis=-1)
         ge = cnt >= k + 1
         return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
-    lo, hi = jax.lax.fori_loop(0, 24, bisect, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, 14, bisect, (lo, hi))
     med = hi  # upper bound brackets the k-th smallest
     best = jnp.argmin(med)
     v_best = v[:, best]

@@ -1,4 +1,6 @@
-"""Camera telemetry ingest: GoPro GPMF (MP4), GyroFlow .gcsv, plain CSV.
+"""Camera telemetry ingest: GoPro GPMF (MP4), CAMM (MP4 camera-motion
+metadata — Insta360/Pixel-class cameras), GyroFlow .gcsv, Betaflight
+blackbox CSV (FPV drones), plain CSV.
 
 Rebuild of the reference's Rust `telemetry-parser-cpp` cdylib
 (ref: rust/telemetry-parser-cpp/src/lib.rs:17-61, C ABI
@@ -78,16 +80,19 @@ def load_gyro(path: str, orient: str | None = None,
     if ext == ".gcsv":
         data = parse_gcsv(path)
     elif ext in (".mp4", ".mov", ".360"):
-        data = parse_mp4_gpmf(path)
+        data = parse_mp4(path)
     elif ext == ".csv":
-        data = parse_csv(path)
+        # blackbox_decode CSVs self-identify via their gyroADC columns
+        with open(path, "r") as f:
+            head = f.read(4096)
+        data = parse_blackbox_csv(path) if "gyroADC[0]" in head else parse_csv(path)
     else:
         # content sniff: MP4 starts with a box header whose type is
         # printable 4cc at offset 4 ('ftyp' usually)
         with open(path, "rb") as f:
             head = f.read(8)
         if len(head) == 8 and head[4:8] in (b"ftyp", b"moov", b"mdat"):
-            data = parse_mp4_gpmf(path)
+            data = parse_mp4(path)
         else:
             data = parse_gcsv(path)
     data.gyro = apply_orientation(data.gyro, orient)
@@ -306,100 +311,111 @@ def _orin_remap(raw: np.ndarray, orin: bytes | None, orio: bytes | None):
     return out
 
 
+def _mp4_open(path):
+    import mmap
+
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    return mm, memoryview(mm)
+
+
+def _find_track(buf, size, match) -> tuple[int, int] | None:
+    """First moov/trak whose hdlr or stsd satisfies `match(bytes)`."""
+    for ts_, te_ in _find_box(buf, 0, size, [b"moov", b"trak"]):
+        hdl = _find_box(buf, ts_, te_, [b"mdia", b"hdlr"])
+        if hdl and match(bytes(buf[hdl[0][0] : hdl[0][1]])):
+            return ts_, te_
+        stsd = _find_box(buf, ts_, te_, [b"mdia", b"minf", b"stbl", b"stsd"])
+        if stsd and match(bytes(buf[stsd[0][0] : stsd[0][1]])):
+            return ts_, te_
+    return None
+
+
+def _track_samples(buf, ts_, te_):
+    """Expand a track's sample tables: per-sample (file offset, size,
+    start seconds, duration seconds)."""
+
+    def box(path_):
+        r = _find_box(buf, ts_, te_, path_)
+        return r[0] if r else None
+
+    mdhd = box([b"mdia", b"mdhd"])
+    version = buf[mdhd[0]]
+    timescale = struct.unpack_from(
+        ">I", buf, mdhd[0] + (20 if version == 1 else 12)
+    )[0]
+
+    stbl = [b"mdia", b"minf", b"stbl"]
+    stsz = box(stbl + [b"stsz"])
+    sample_size = struct.unpack_from(">I", buf, stsz[0] + 4)[0]
+    sample_count = struct.unpack_from(">I", buf, stsz[0] + 8)[0]
+    if sample_size == 0:
+        sizes = np.frombuffer(
+            buf, dtype=">u4", count=sample_count, offset=stsz[0] + 12
+        ).astype(np.int64)
+    else:
+        sizes = np.full(sample_count, sample_size, np.int64)
+
+    co = box(stbl + [b"stco"])
+    if co is not None:
+        nco = struct.unpack_from(">I", buf, co[0] + 4)[0]
+        offsets = np.frombuffer(
+            buf, dtype=">u4", count=nco, offset=co[0] + 8
+        ).astype(np.int64)
+    else:
+        co = box(stbl + [b"co64"])
+        nco = struct.unpack_from(">I", buf, co[0] + 4)[0]
+        offsets = np.frombuffer(
+            buf, dtype=">u8", count=nco, offset=co[0] + 8
+        ).astype(np.int64)
+
+    # sample->chunk mapping
+    stsc = box(stbl + [b"stsc"])
+    nsc = struct.unpack_from(">I", buf, stsc[0] + 4)[0]
+    stsc_rows = [
+        struct.unpack_from(">III", buf, stsc[0] + 8 + 12 * i) for i in range(nsc)
+    ]
+    # expand to per-sample file offsets
+    sample_offsets = np.zeros(sample_count, np.int64)
+    si = 0
+    for ri, (first_chunk, spc, _) in enumerate(stsc_rows):
+        last_chunk = (
+            stsc_rows[ri + 1][0] - 1 if ri + 1 < nsc else len(offsets)
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            base = offsets[chunk - 1]
+            for _ in range(spc):
+                if si >= sample_count:
+                    break
+                sample_offsets[si] = base
+                base += sizes[si]
+                si += 1
+    # sample durations from stts
+    stts = box(stbl + [b"stts"])
+    nst = struct.unpack_from(">I", buf, stts[0] + 4)[0]
+    durs = []
+    for i in range(nst):
+        cnt, delta = struct.unpack_from(">II", buf, stts[0] + 8 + 8 * i)
+        durs.extend([delta] * cnt)
+    durs = np.asarray(durs[:sample_count], np.float64) / timescale
+    starts = np.concatenate([[0.0], np.cumsum(durs)[:-1]])
+    return sample_offsets, sizes, starts, durs
+
+
 def parse_mp4_gpmf(path: str) -> GyroData:
     """Extract the GPMF metadata track and decode GYRO samples with
     SCAL scaling, ORIN/ORIO normalization, and stts-spread timestamps.
     Reads the relevant boxes via mmap-ish buffer (the whole file is
     memory-mapped, only touched pages load)."""
-    import mmap
-
-    with open(path, "rb") as f:
-        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-    buf = memoryview(mm)
+    mm, buf = _mp4_open(path)
     try:
-        traks = _find_box(buf, 0, len(mm), [b"moov", b"trak"])
-        gp = None
-        for ts_, te_ in traks:
-            hdl = _find_box(buf, ts_, te_, [b"mdia", b"hdlr"])
-            if not hdl:
-                continue
-            hs, he = hdl[0]
-            if b"gpmd" not in bytes(buf[hs:he]) and b"GoPro MET" not in bytes(
-                buf[hs:he]
-            ):
-                stsd = _find_box(buf, ts_, te_, [b"mdia", b"minf", b"stbl", b"stsd"])
-                if not stsd or b"gpmd" not in bytes(buf[stsd[0][0] : stsd[0][1]]):
-                    continue
-            gp = (ts_, te_)
-            break
+        gp = _find_track(
+            buf, len(mm), lambda b: b"gpmd" in b or b"GoPro MET" in b
+        )
         if gp is None:
             raise SyncPanic(f"no GPMF track in {path}")
-        ts_, te_ = gp
-
-        def box(path_):
-            r = _find_box(buf, ts_, te_, path_)
-            return r[0] if r else None
-
-        mdhd = box([b"mdia", b"mdhd"])
-        version = buf[mdhd[0]]
-        timescale = struct.unpack_from(
-            ">I", buf, mdhd[0] + (20 if version == 1 else 12)
-        )[0]
-
-        stbl = [b"mdia", b"minf", b"stbl"]
-        stsz = box(stbl + [b"stsz"])
-        sample_size = struct.unpack_from(">I", buf, stsz[0] + 4)[0]
-        sample_count = struct.unpack_from(">I", buf, stsz[0] + 8)[0]
-        if sample_size == 0:
-            sizes = np.frombuffer(
-                buf, dtype=">u4", count=sample_count, offset=stsz[0] + 12
-            ).astype(np.int64)
-        else:
-            sizes = np.full(sample_count, sample_size, np.int64)
-
-        co = box(stbl + [b"stco"])
-        if co is not None:
-            nco = struct.unpack_from(">I", buf, co[0] + 4)[0]
-            offsets = np.frombuffer(
-                buf, dtype=">u4", count=nco, offset=co[0] + 8
-            ).astype(np.int64)
-        else:
-            co = box(stbl + [b"co64"])
-            nco = struct.unpack_from(">I", buf, co[0] + 4)[0]
-            offsets = np.frombuffer(
-                buf, dtype=">u8", count=nco, offset=co[0] + 8
-            ).astype(np.int64)
-
-        # sample->chunk mapping
-        stsc = box(stbl + [b"stsc"])
-        nsc = struct.unpack_from(">I", buf, stsc[0] + 4)[0]
-        stsc_rows = [
-            struct.unpack_from(">III", buf, stsc[0] + 8 + 12 * i) for i in range(nsc)
-        ]
-        # expand to per-sample file offsets
-        sample_offsets = np.zeros(sample_count, np.int64)
-        si = 0
-        for ri, (first_chunk, spc, _) in enumerate(stsc_rows):
-            last_chunk = (
-                stsc_rows[ri + 1][0] - 1 if ri + 1 < nsc else len(offsets)
-            )
-            for chunk in range(first_chunk, last_chunk + 1):
-                base = offsets[chunk - 1]
-                for _ in range(spc):
-                    if si >= sample_count:
-                        break
-                    sample_offsets[si] = base
-                    base += sizes[si]
-                    si += 1
-        # sample durations from stts
-        stts = box(stbl + [b"stts"])
-        nst = struct.unpack_from(">I", buf, stts[0] + 4)[0]
-        durs = []
-        for i in range(nst):
-            cnt, delta = struct.unpack_from(">II", buf, stts[0] + 8 + 8 * i)
-            durs.extend([delta] * cnt)
-        durs = np.asarray(durs[:sample_count], np.float64) / timescale
-        starts = np.concatenate([[0.0], np.cumsum(durs)[:-1]])
+        sample_offsets, sizes, starts, durs = _track_samples(buf, *gp)
+        sample_count = len(sizes)
 
         all_ts, all_gyro = [], []
         for k in range(sample_count):
@@ -439,3 +455,84 @@ def parse_mp4_gpmf(path: str) -> GyroData:
     finally:
         buf.release()
         mm.close()
+
+
+# ---------------------------------------------------------------------------
+# CAMM (Google camera-motion metadata) inside MP4 — Insta360/Pixel-
+# class cameras. Spec: developers.google.com/streetview/publish/camm-spec:
+# each sample is one little-endian packet `u16 reserved, u16 type,
+# payload`; type 2 = angular velocity, 3x f32 rad/s.
+
+
+def parse_mp4_camm(path: str) -> GyroData:
+    mm, buf = _mp4_open(path)
+    try:
+        tk = _find_track(buf, len(mm), lambda b: b"camm" in b)
+        if tk is None:
+            raise SyncPanic(f"no CAMM track in {path}")
+        sample_offsets, sizes, starts, durs = _track_samples(buf, *tk)
+        ts, gyro = [], []
+        for k in range(len(sizes)):
+            off = int(sample_offsets[k])
+            if sizes[k] < 16:
+                continue
+            typ = struct.unpack_from("<H", buf, off + 2)[0]
+            if typ != 2:
+                continue
+            gyro.append(struct.unpack_from("<3f", buf, off + 4))
+            ts.append(starts[k])
+        if not ts:
+            raise SyncPanic(f"CAMM track has no gyro packets in {path}")
+        return GyroData(
+            timestamps=np.asarray(ts, np.float64),
+            gyro=np.asarray(gyro, np.float64),
+        )
+    finally:
+        buf.release()
+        mm.close()
+
+
+def parse_mp4(path: str) -> GyroData:
+    """MP4 dispatcher: GPMF first (GoPro), then CAMM."""
+    try:
+        return parse_mp4_gpmf(path)
+    except SyncPanic:
+        return parse_mp4_camm(path)
+
+
+# ---------------------------------------------------------------------------
+# Betaflight/INAV blackbox CSV (the thesis' FPV-drone use case) —
+# `blackbox_decode --csv` output: header row with `time` (us) and
+# `gyroADC[0..2]` (deg/s) columns.
+
+
+def parse_blackbox_csv(path: str) -> GyroData:
+    with open(path, "r") as f:
+        header = None
+        for line in f:
+            if "gyroADC[0]" in line:
+                header = [c.strip().strip('"') for c in line.split(",")]
+                break
+        if header is None:
+            raise SyncPanic(f"no gyroADC columns in {path}")
+        it = header.index("time")
+        ig = [header.index(f"gyroADC[{i}]") for i in range(3)]
+        rows = []
+        need = max(it, *ig) + 1
+        for line in f:
+            parts = line.split(",")
+            if len(parts) < need:
+                continue
+            try:
+                rows.append(
+                    [float(parts[it])] + [float(parts[i]) for i in ig]
+                )
+            except ValueError:
+                continue
+    if not rows:
+        raise SyncPanic(f"no gyro rows in {path}")
+    arr = np.asarray(rows, np.float64)
+    return GyroData(
+        timestamps=arr[:, 0] * 1e-6,  # us -> s
+        gyro=np.deg2rad(arr[:, 1:4]),  # deg/s -> rad/s
+    )

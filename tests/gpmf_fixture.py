@@ -121,3 +121,69 @@ def write_gpmf_mp4(
 
     with open(path, "wb") as f:
         f.write(ftyp + mdat + moov)
+
+
+def write_camm_mp4(
+    path: str,
+    gyro_rad_s: np.ndarray,
+    rate_hz: float,
+) -> None:
+    """Write an MP4 with a 'camm' track: one little-endian packet per
+    sample, type 2 = angular velocity (3x f32 rad/s), per the public
+    CAMM spec (developers.google.com/streetview/publish/camm-spec)."""
+    chunks = [
+        struct.pack("<HH3f", 0, 2, *row) for row in np.asarray(gyro_rad_s)
+    ]
+    timescale = 90000
+    dur = int(round(timescale / rate_hz))
+    payload_durs = [dur] * len(chunks)
+
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _box(b"mdat", b"".join(chunks))
+    mdat_base = len(ftyp) + 8
+    offs = []
+    off = mdat_base
+    for c in chunks:
+        offs.append(off)
+        off += len(c)
+
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", timescale)
+        + struct.pack(">I", sum(payload_durs))
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _box(
+        b"hdlr",
+        struct.pack(">B3x", 0) + b"\0" * 4 + b"camm" + b"\0" * 12
+        + b"Camera Motion Metadata\0",
+    )
+    stsd_entry = _box(b"camm", b"\0" * 6 + struct.pack(">H", 1))
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + stsd_entry)
+    stts = _box(
+        b"stts",
+        struct.pack(">B3xI", 0, 1) + struct.pack(">II", len(chunks), dur),
+    )
+    stsc = _box(
+        b"stsc", struct.pack(">B3xI", 0, 1) + struct.pack(">III", 1, 1, 1)
+    )
+    stsz = _box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, len(chunks))
+        + b"".join(struct.pack(">I", len(c)) for c in chunks),
+    )
+    stco = _box(
+        b"stco",
+        struct.pack(">B3xI", 0, len(offs))
+        + b"".join(struct.pack(">I", o) for o in offs),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+
+    with open(path, "wb") as f:
+        f.write(ftyp + mdat + moov)

@@ -10,7 +10,7 @@ from rssync_tpu.frontend.lens_profiles import load_lens_profile
 from rssync_tpu.analysis.metrics import sync_rmse, sync_rmse_from_csv
 from rssync_tpu.utils.checks import SyncPanic
 
-from gpmf_fixture import write_gpmf_mp4
+from gpmf_fixture import write_camm_mp4, write_gpmf_mp4
 
 
 @pytest.fixture
@@ -34,6 +34,31 @@ def test_gpmf_mp4_roundtrip(tmp_path, gyro_signal):
     np.testing.assert_allclose(data.timestamps, t, atol=1e-2)  # stts ms grid
     # monotonic
     assert np.all(np.diff(data.timestamps) >= 0)
+
+
+def test_camm_mp4_roundtrip(tmp_path, gyro_signal):
+    t, g = gyro_signal
+    p = str(tmp_path / "cam.mp4")
+    write_camm_mp4(p, g, rate_hz=200.0)
+    data = telemetry.load_gyro(p, prefer_native=False)
+    assert data.samples == len(g)
+    np.testing.assert_allclose(data.gyro, g, atol=1e-6)  # f32 payload
+    np.testing.assert_allclose(data.timestamps, t, atol=1e-4)
+
+
+def test_blackbox_csv(tmp_path, gyro_signal):
+    t, g = gyro_signal
+    p = str(tmp_path / "LOG00001.01.csv")
+    deg = np.rad2deg(g)
+    with open(p, "w") as f:
+        f.write("loopIteration, time, axisP[0], gyroADC[0], gyroADC[1], gyroADC[2]\n")
+        for i in range(len(t)):
+            f.write(f"{i}, {t[i] * 1e6:.0f}, 0, "
+                    f"{deg[i, 0]:.6f}, {deg[i, 1]:.6f}, {deg[i, 2]:.6f}\n")
+    data = telemetry.load_gyro(p, prefer_native=False)
+    assert data.samples == len(g)
+    np.testing.assert_allclose(data.gyro, g, atol=1e-6)
+    np.testing.assert_allclose(data.timestamps, t, atol=1e-6)
 
 
 def test_gpmf_orin_normalization(tmp_path, gyro_signal):

@@ -94,3 +94,19 @@ def test_dispatcher_prefers_native(native_lib, fixture_mp4, monkeypatch):
     monkeypatch.setattr(telemetry, "_NATIVE_TRIED", False)
     data = telemetry.load_gyro(path, prefer_native=True)
     np.testing.assert_allclose(data.gyro, g, atol=1e-3)
+
+
+def test_native_camm(native_lib, tmp_path, rng):
+    from gpmf_fixture import write_camm_mp4
+
+    n = 500
+    t = np.arange(n) / 200.0
+    g = np.stack([np.sin(2 * t), np.cos(3 * t), 0.2 * t], axis=1)
+    p = str(tmp_path / "camm.mp4")
+    write_camm_mp4(p, g, rate_hz=200.0)
+    ts, gy = _load_native(native_lib, p)
+    py = telemetry.parse_mp4_camm(p)
+    np.testing.assert_allclose(ts, py.timestamps, atol=0)
+    np.testing.assert_allclose(gy, py.gyro, atol=0)
+    np.testing.assert_allclose(gy, g, atol=1e-6)  # f32 payload
+    np.testing.assert_allclose(ts, t, atol=1e-4)
