@@ -1,6 +1,7 @@
-"""Bisect the v2 tracker cost at the real chunked seg=240 operating
-point, with async pipelining so tunnel dispatch overhead washes out.
-Stages toggle via a script-local _lk_core replacement."""
+"""A/B the fine-LK schedule with FULL chunked runs only (partial-
+consumption microbenches DCE-underestimate; see bench_track_bisect
+history). Variants patch a script-local _lk_core with per-level
+(iters, margin, radius)."""
 
 import sys
 import time
@@ -12,20 +13,18 @@ import jax.numpy as jnp
 from rssync_tpu.frontend import tracking as T
 
 ORIG_CORE = T._lk_core
-ORIG_PLAN = T._fine_plan
 
 
 def fetch(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
 
 
-def make_core(use_coarse, n_plan):
+def make_core(plan):
+    """plan: [(lvl, iters, margin, radius)] finest-last."""
     def core(pyr_pairs, pts, levels, radius, iters):
         B = pyr_pairs[0][0].shape[0]
-        plan = ORIG_PLAN(levels, iters)[:n_plan]
-        entry = ORIG_PLAN(levels, iters)[0][0]
-
-        if use_coarse and levels > entry + 1:
+        entry = plan[0][0]
+        if levels > entry + 1:
             lvl_glob = levels - 1
             lvl_vol = max(entry + 1, lvl_glob - 2)
             pairs = {
@@ -37,23 +36,18 @@ def make_core(use_coarse, n_plan):
             D_glob = max(2, min(hg) // 3)
             d = T._coarse_init(pairs, lvl_vol, lvl_glob, pts, D_glob)
         else:
-            # depend on every level so the pyramid isn't DCE'd
-            s = sum(jnp.mean(a[..., ::32, ::32].astype(jnp.float32)) +
-                    jnp.mean(b[..., ::32, ::32].astype(jnp.float32))
-                    for a, b in pyr_pairs)
-            d = jnp.zeros((B,) + pts.shape, jnp.float32) + 0.0 * s
-
-        for lvl, it_l, m_l in plan:
+            d = jnp.zeros((B,) + pts.shape, jnp.float32)
+        for lvl, it_l, m_l, r_l in plan:
             scale = float(2 ** lvl)
             d = T._lk_level(
                 pyr_pairs[lvl][0], pyr_pairs[lvl][1], pts / scale, d / scale,
-                radius, it_l, m_l, precision=jax.lax.Precision.HIGHEST,
+                r_l, it_l, m_l, precision=jax.lax.Precision.HIGHEST,
             ) * scale
         return pts[None] + d
     return core
 
 
-def run(name, seg=240, chunk=16, n_pairs_total=3600):
+def run(name, seg=240, chunk=16, n_pairs_total=3600, reps=2):
     H, W = 2028, 2704
     frames = jax.random.randint(jax.random.PRNGKey(0), (seg + 1, H, W), 0, 255,
                                 jnp.uint8)
@@ -62,34 +56,28 @@ def run(name, seg=240, chunk=16, n_pairs_total=3600):
     fetch(T.lk_track_video_chunked(frames, chunk=chunk, grid_step=200))
     n_disp = n_pairs_total // seg
     best = np.inf
-    for rep in range(2):
-        biases = jax.random.randint(jax.random.PRNGKey(rep + 1), (n_disp,),
-                                    0, 100, jnp.uint8)
-        fetch(biases)
+    for rep in range(reps):
+        bias = jnp.uint8(rep + 1)
         t0 = time.time()
-        outs = [T.lk_track_video_chunked(frames + biases[i], chunk=chunk,
+        outs = [T.lk_track_video_chunked(frames + (bias + i), chunk=chunk,
                                          grid_step=200) for i in range(n_disp)]
         for o in outs:
             fetch(o)
         best = min(best, time.time() - t0)
-    print(f"{name:44s} {best:6.2f}s/clip  {1e3 * best / (n_disp * seg):7.3f} ms/pair",
+    print(f"{name:46s} {best:6.2f}s/clip  {1e3 * best / (n_disp * seg):7.3f} ms/pair",
           file=sys.stderr, flush=True)
 
 
 def main():
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
-    for name, use_coarse, n_plan in [
-        ("pyramid only", False, 0),
-        ("pyr + coarse", True, 0),
-        ("pyr + coarse + entry lvl2", True, 1),
-        ("pyr + coarse + lvl2 + lvl1", True, 2),
-        ("FULL", True, 3),
-    ]:
-        T._lk_core = make_core(use_coarse, n_plan)
-        run(name)
+    run("V0 current plan (2,3,8,r10)(1,2,3,r10)(0,5,3,r10)")
+    T._lk_core = make_core([(2, 3, 8, 10), (0, 5, 4, 10)])
+    run("V1 skip lvl1: (2,3,8,r10)(0,5,4,r10)")
+    T._lk_core = make_core([(2, 3, 8, 6), (0, 5, 4, 10)])
+    run("V2 = V1 + lvl2 radius 6")
+    T._lk_core = make_core([(2, 2, 8, 6), (0, 4, 4, 10)])
+    run("V3 = V2 + iters (2,4)")
     T._lk_core = ORIG_CORE
-    for chunk in (24, 48):
-        run(f"FULL(orig) chunk={chunk} seg=240", chunk=chunk)
 
 
 if __name__ == "__main__":

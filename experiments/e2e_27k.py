@@ -1,0 +1,105 @@
+"""Honest end-to-end run at the reference operating point: render a
+textured 2704x2028 clip with known ground-truth delay, then run the
+FULL CLI pipeline (decode -> track -> presync -> 4x sync -> CSV) on
+the ambient device and report stage wall-clocks + offset error.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python experiments/e2e_27k.py \
+      [--frames 900] [--fps 30] [--out /tmp/e2e27k]
+
+The clip renders once and is reused on re-runs (delete --out to
+re-render). Results print as one JSON line.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=900)
+    ap.add_argument("--fps", type=float, default=30.0)
+    ap.add_argument("--out", default="/tmp/e2e27k")
+    ap.add_argument("--render-only", action="store_true")
+    args = ap.parse_args()
+
+    meta_path = os.path.join(args.out, "meta.json")
+    if not os.path.exists(meta_path):
+        t0 = time.time()
+        # render on CPU jax to leave the TPU to the pipeline run
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        code = f"""
+import json
+from rssync_tpu.testing.synthvideo import make_clip
+clip = make_clip({args.out!r}, seed=11, true_delay=0.0185,
+                 n_frames={args.frames}, fps={args.fps},
+                 width=2704, height=2028, pad=1.0)
+json.dump({{"video_path": clip.video_path, "gyro_path": clip.gyro_path,
+           "lens_path": clip.lens_path, "lens_name": clip.lens_name,
+           "true_delay": clip.true_delay, "orient": clip.orient,
+           "n_frames": clip.n_frames}},
+          open({meta_path!r}, "w"))
+"""
+        subprocess.run([sys.executable, "-c", code], env=env, check=True)
+        print(f"# rendered {args.frames} frames in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+    meta = json.load(open(meta_path))
+    if args.render_only:
+        return
+
+    recipe = {
+        "input": {
+            "video_path": meta["video_path"],
+            "gyro_path": meta["gyro_path"],
+            "gyro_orientation": meta["orient"],
+            "frame_range": [0, meta["n_frames"] - 1],
+            "lens_profile": {"path": meta["lens_path"],
+                             "name": meta["lens_name"]},
+            "initial_guess": 500.0,
+            "use_simple_presync": True,
+            "simple_presync_radius": 200.0,
+            "simple_presync_step": 2.0,
+        },
+        "params": {
+            "sync_window": 60,
+            "syncpoints_format": "auto",
+            "syncpoint_distance": 120,
+        },
+        "output": {"csv_path": os.path.join(args.out, "sync.csv"),
+                   "debug_csv_path": os.path.join(args.out, "debug.csv")},
+    }
+    rpath = os.path.join(args.out, "recipe.json")
+    json.dump(recipe, open(rpath, "w"))
+
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "rssync_tpu.pipeline", rpath],
+        capture_output=True, text=True, cwd=args.out,
+    )
+    wall = time.time() - t0
+    sys.stderr.write(proc.stderr[-3000:])
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-2000:])
+        raise SystemExit(proc.returncode)
+
+    import numpy as np
+
+    rows = np.loadtxt(os.path.join(args.out, "sync.csv"), delimiter=",",
+                      ndmin=2)
+    errs_ms = np.abs(rows[:, 1] - meta["true_delay"] * 1000.0)
+    print(json.dumps({
+        "metric": "2.7k textured clip, full CLI decode->track->sync",
+        "frames": meta["n_frames"],
+        "syncpoints": int(rows.shape[0]),
+        "wall_s": round(wall, 1),
+        "max_offset_err_ms": round(float(errs_ms.max()), 4),
+        "mean_offset_err_ms": round(float(errs_ms.mean()), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -457,20 +457,40 @@ def _coarse_init(pyr: list[jnp.ndarray], lvl_vol: int, lvl_glob: int,
 # full tracker core
 
 
-def _fine_plan(levels: int, iters: int) -> list[tuple[int, int, int]]:
-    """[(level, iters, margin)] finest-last. Entry level gets the wide
-    margin (absorbs coarse-init error); the finest level gets the most
-    iterations (subpixel accuracy)."""
+def _fine_plan(
+    levels: int, iters: int, radius: int
+) -> list[tuple[int, int, int, int]]:
+    """[(level, iters, margin, radius)] finest-last. Entry level gets
+    the wide margin (absorbs coarse-init error); the finest level gets
+    the most iterations (subpixel accuracy).
+
+    On deep pyramids (>= 7 levels, i.e. >= ~1500 px frames) the
+    intermediate level is SKIPPED and the entry level uses a small
+    window: the entry refinement leaves <= ~0.5 px of error at its own
+    scale, i.e. <= ~2 px at level 0, inside the level-0 margin —
+    measured 16% faster at identical accuracy at the 2.7k operating
+    point (experiments/bench_track_sched.py). Small frames keep the
+    conservative 3-level schedule (features are relatively sparser and
+    the short-window entry measurably costs sub-ms sync accuracy
+    there)."""
     n_fine = min(3, levels)
-    plan = []
-    for k, lvl in enumerate(range(n_fine - 1, -1, -1)):
-        if k == 0:
-            plan.append((lvl, 3 if n_fine > 1 else min(iters, 8), MARGIN_ENTRY))
-        elif lvl > 0:
-            plan.append((lvl, 2, MARGIN_FINE))
-        else:
-            plan.append((0, min(iters, 5), MARGIN_FINE))
-    return plan
+    if n_fine >= 3 and levels >= 7:
+        return [
+            (2, 2, MARGIN_ENTRY, min(radius, 6)),
+            (0, min(iters, 4), MARGIN_FINE + 1, radius),
+        ]
+    if n_fine >= 3:
+        return [
+            (2, 3, MARGIN_ENTRY, radius),
+            (1, 2, MARGIN_FINE, radius),
+            (0, min(iters, 5), MARGIN_FINE, radius),
+        ]
+    if n_fine == 2:
+        return [
+            (1, 3, MARGIN_ENTRY, radius),
+            (0, min(iters, 5), MARGIN_FINE, radius),
+        ]
+    return [(0, min(iters, 8), MARGIN_ENTRY, radius)]
 
 
 def _lk_core(pyr_pairs: list[tuple[jnp.ndarray, jnp.ndarray]],
@@ -478,7 +498,7 @@ def _lk_core(pyr_pairs: list[tuple[jnp.ndarray, jnp.ndarray]],
              iters: int) -> jnp.ndarray:
     """Shared tracker body over per-level (img_a, img_b) batches."""
     B = pyr_pairs[0][0].shape[0]
-    plan = _fine_plan(levels, iters)
+    plan = _fine_plan(levels, iters, radius)
     entry = plan[0][0]
 
     if levels > entry + 1:
@@ -495,11 +515,11 @@ def _lk_core(pyr_pairs: list[tuple[jnp.ndarray, jnp.ndarray]],
     else:
         d = jnp.zeros((B,) + pts.shape, jnp.float32)
 
-    for lvl, it_l, m_l in plan:
+    for lvl, it_l, m_l, r_l in plan:
         scale = float(2**lvl)
         d = _lk_level(
             pyr_pairs[lvl][0], pyr_pairs[lvl][1], pts / scale, d / scale,
-            radius, it_l, m_l, precision=jax.lax.Precision.HIGHEST,
+            r_l, it_l, m_l, precision=jax.lax.Precision.HIGHEST,
         ) * scale
     return pts[None] + d
 

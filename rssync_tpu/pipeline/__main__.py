@@ -16,13 +16,23 @@ def main(argv=None) -> int:
         prog="rssync_tpu.pipeline",
         description="TPU-native gyro-to-video sync (rs-sync recipe format)",
     )
-    ap.add_argument("recipe", help="JSON recipe path (times in ms)")
+    ap.add_argument("recipe", nargs="+",
+                    help="JSON recipe path (times in ms); several paths "
+                         "with --multi")
+    ap.add_argument("--multi", action="store_true",
+                    help="sync all given recipes as ONE batched engine run "
+                         "(N clips x M syncpoints on a single window axis; "
+                         "shardable over a device mesh)")
     ap.add_argument("--method", choices=["lk", "dis"], default="lk",
                     help="tracker: TPU pyramidal LK (default) or host cv2 DIS")
     ap.add_argument("--sequential", action="store_true",
                     help="per-syncpoint loop instead of batched launches")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--trace", action="store_true",
+                    help="print the reference's per-iteration `delay step` "
+                         "lines for every window (batched mode reads them "
+                         "from the sync trace buffers)")
     ap.add_argument("--track-cache", metavar="DIR", default=None,
                     help="cache the track stage to DIR (skip re-decoding "
                          "video on repeated runs)")
@@ -37,20 +47,32 @@ def main(argv=None) -> int:
         from rssync_tpu.pipeline.guess_orient import run_guess_orient
 
         results = run_guess_orient(
-            args.recipe, frames=args.frames, method=args.method, seed=args.seed,
-            progress=not args.quiet,
+            args.recipe[0], frames=args.frames, method=args.method,
+            seed=args.seed, progress=not args.quiet,
         )
         print("\n----- Top-5 results -----")
         for cost, _delay, orient in results[:5]:
             print(f"{orient} {cost:g}")
         return 0
 
+    if args.multi or len(args.recipe) > 1:
+        from rssync_tpu.pipeline.recipe import run_multi_recipes
+
+        results = run_multi_recipes(
+            args.recipe, method=args.method, seed=args.seed,
+            progress=not args.quiet, track_cache_dir=args.track_cache,
+        )
+        for path, res in zip(args.recipe, results):
+            for pos, dms in zip(res.syncpoints, res.delays_ms):
+                print(f"{path},{pos},{dms:g}")
+        return 0
+
     from rssync_tpu.pipeline.recipe import run_recipe
 
     result = run_recipe(
-        args.recipe, method=args.method, seed=args.seed,
+        args.recipe[0], method=args.method, seed=args.seed,
         batched=not args.sequential, progress=not args.quiet,
-        track_cache_dir=args.track_cache,
+        track_cache_dir=args.track_cache, trace=args.trace,
     )
     for pos, dms in zip(result.syncpoints, result.delays_ms):
         print(f"{pos},{dms:g}")

@@ -72,45 +72,29 @@ def make_syncpoints(params: dict, frame_start: int, frame_end: int) -> list[int]
     raise ValueError(f"unknown syncpoints_format {fmt!r}")
 
 
-def run_recipe(
-    recipe,
-    method: str = "lk",
-    seed: int = 0,
-    batched: bool = True,
-    progress: bool = False,
-    track_cache_dir: str | None = None,
-    timings=None,
-) -> RecipeResult:
-    """Execute a recipe (path, file object, or dict).
-
-    track_cache_dir: optional directory caching the track stage so
-    sync experiments re-run without re-decoding video (SURVEY §5.4).
-    timings: optional utils.timing.Timings collecting per-stage
-    wall-clock.
-    """
-    from rssync_tpu.utils.timing import Timings
-    from rssync_tpu.utils import track_cache
-
-    timings = timings if timings is not None else Timings()
+def _load_recipe(recipe) -> dict:
     if isinstance(recipe, (str, bytes)):
         with open(recipe) as f:
-            recipe = json.load(f)
-    elif hasattr(recipe, "read"):
-        recipe = json.load(recipe)
+            return json.load(f)
+    if hasattr(recipe, "read"):
+        return json.load(recipe)
+    return recipe
+
+
+def _prepare_problem(
+    recipe: dict, method, seed, track_cache_dir, timings, progress
+):
+    """Gyro + track intake for one recipe -> (SyncProblem, frame range)."""
+    from rssync_tpu.utils import track_cache
 
     inp = recipe["input"]
-    params = recipe["params"]
-    output = recipe.get("output", {})
-
     sp = SyncProblem(seed=seed)
     with timings.stage("gyro_ingest"):
         fill_gyro(sp, inp["gyro_path"], inp.get("gyro_orientation"))
     lens = load_lens_profile(
         inp["lens_profile"]["path"], inp["lens_profile"]["name"]
     )
-
     frame_start, frame_end = (int(v) for v in inp["frame_range"])
-    sync_window = int(params["sync_window"])
     with timings.stage("tracking"):
         key = track_cache.cache_key(
             inp["video_path"], frame_start, frame_end,
@@ -124,7 +108,39 @@ def run_recipe(
                 method=method, progress=progress,
             ),
         )
+    return sp, frame_start, frame_end
 
+
+def run_recipe(
+    recipe,
+    method: str = "lk",
+    seed: int = 0,
+    batched: bool = True,
+    progress: bool = False,
+    track_cache_dir: str | None = None,
+    timings=None,
+    trace: bool = False,
+) -> RecipeResult:
+    """Execute a recipe (path, file object, or dict).
+
+    track_cache_dir: optional directory caching the track stage so
+    sync experiments re-run without re-decoding video (SURVEY §5.4).
+    timings: optional utils.timing.Timings collecting per-stage
+    wall-clock.
+    """
+    from rssync_tpu.utils.timing import Timings
+    from rssync_tpu.utils import track_cache
+
+    timings = timings if timings is not None else Timings()
+    recipe = _load_recipe(recipe)
+    inp = recipe["input"]
+    params = recipe["params"]
+    output = recipe.get("output", {})
+
+    sp, frame_start, frame_end = _prepare_problem(
+        recipe, method, seed, track_cache_dir, timings, progress
+    )
+    sync_window = int(params["sync_window"])
     syncpoints = make_syncpoints(params, frame_start, frame_end)
 
     initial_delay = float(inp.get("initial_guess", 0.0)) / 1000.0
@@ -149,6 +165,7 @@ def run_recipe(
             delays_ms = _run_batched(
                 sp, syncpoints, sync_window, initial_delay,
                 use_presync, presync_radius_ms, presync_step_ms, progress,
+                trace,
             )
         else:
             delays_ms = _run_sequential(
@@ -197,9 +214,15 @@ def _run_sequential(
 def _run_batched(
     sp, syncpoints, sync_window, initial_delay,
     use_presync, presync_radius_ms, presync_step_ms, progress,
+    trace=False,
 ):
     """All syncpoints as one stacked batch: 1 PreSync launch + 4 Sync
-    launches for the whole clip."""
+    launches for the whole clip.
+
+    trace=True prints the reference's per-iteration `delay step` lines
+    (ref core_private.cpp:330) for every window after each pass, read
+    from the SyncResult trace buffers — the batched-mode equivalent of
+    the sequential mode's live stderr stream."""
     table = sp.spline_table
     dtype = jnp.float32
     open_wins = stack_windows(
@@ -232,4 +255,104 @@ def _run_batched(
             table, closed_wins, delays, centers, radius, sp.next_key(), wide=wide
         )
         delays = res.delay
+        if trace:
+            import sys
+
+            iters = np.asarray(res.iterations)
+            tr_d = np.asarray(res.trace_delay, np.float64)
+            tr_s = np.asarray(res.trace_step, np.float64)
+            for w, pos in enumerate(syncpoints):
+                print(f"# pass {i} window {pos} ({iters[w]} iters)",
+                      file=sys.stderr)
+                for it in range(int(iters[w])):
+                    print(f"{tr_d[w, it]:g} {abs(tr_s[w, it]):g}",
+                          file=sys.stderr)
     return [1000.0 * float(d) for d in np.asarray(delays, np.float64)]
+
+
+def run_multi_recipes(
+    recipes,
+    method: str = "lk",
+    seed: int = 0,
+    progress: bool = False,
+    track_cache_dir: str | None = None,
+) -> list[RecipeResult]:
+    """Sync N clips as ONE batched engine run (BASELINE configs[4]).
+
+    Every recipe's gyro + tracks load into its own SyncProblem; all
+    clips' syncpoint windows then stack into a single window axis with
+    per-window spline tables (parallel/multi.py::sync_clips): one
+    PreSync launch + 4 Sync launches for the whole fleet. Shard the
+    window axis over a Mesh for multi-chip (parallel/mesh.py).
+
+    Constraints (asserted): all recipes must share sync_window,
+    initial_guess, and simple-presync settings, and use_simple_presync
+    must be on (the batched multi path needs a bounded delay swing for
+    its padded spline-table stacking).
+    """
+    from rssync_tpu.parallel.multi import sync_clips
+    from rssync_tpu.utils.timing import Timings
+
+    timings = Timings()
+    loaded = [_load_recipe(r) for r in recipes]
+
+    def param(d, *path, default=None):
+        for p in path[:-1]:
+            d = d.get(p, {})
+        return d.get(path[-1], default)
+
+    first = loaded[0]
+    window = int(first["params"]["sync_window"])
+    initial_ms = float(param(first, "input", "initial_guess", default=0.0))
+    radius_ms = float(
+        param(first, "input", "simple_presync_radius", default=200.0)
+    )
+    step_ms = float(param(first, "input", "simple_presync_step", default=2.0))
+    for r in loaded:
+        if not bool(param(r, "input", "use_simple_presync", default=False)):
+            raise ValueError("multi-clip mode requires use_simple_presync")
+        same = (
+            int(r["params"]["sync_window"]) == window
+            and float(param(r, "input", "initial_guess", default=0.0))
+            == initial_ms
+            and float(param(r, "input", "simple_presync_radius", default=200.0))
+            == radius_ms
+            and float(param(r, "input", "simple_presync_step", default=2.0))
+            == step_ms
+        )
+        if not same:
+            raise ValueError(
+                "multi-clip mode requires identical sync_window/"
+                "initial_guess/presync settings across recipes"
+            )
+
+    problems, syncpoint_lists = [], []
+    for i, r in enumerate(loaded):
+        sp, fs, fe = _prepare_problem(
+            r, method, seed + i, track_cache_dir, timings, progress
+        )
+        problems.append(sp)
+        syncpoint_lists.append(make_syncpoints(r["params"], fs, fe))
+
+    with timings.stage("sync_all_clips"):
+        delay_lists = sync_clips(
+            problems, syncpoint_lists, window, initial_ms / 1000.0,
+            step_ms / 1000.0, radius_ms / 1000.0, problems[0].next_key(),
+            sync_passes=SYNC_PASSES,
+        )
+    if progress:
+        print(timings.report(), flush=True)
+
+    results = []
+    for r, pts, ds in zip(loaded, syncpoint_lists, delay_lists):
+        delays_ms = [1000.0 * d for d in ds]
+        csv_path = r.get("output", {}).get("csv_path")
+        if csv_path:
+            with open(csv_path, "w") as f:
+                for pos, dms in zip(pts, delays_ms):
+                    f.write(f"{pos},{dms:g}\n")
+        results.append(RecipeResult(
+            syncpoints=pts, delays_ms=delays_ms,
+            csv_path=csv_path, debug_csv_path=None,
+        ))
+    return results

@@ -111,3 +111,40 @@ def test_guess_orient_ranks_truth_first(clip, tmp_path):
     assert results[0][2] == clip.orient
     # truth should clearly beat the runner-up
     assert results[0][0] < results[1][0] * 0.9
+
+
+def test_multi_recipe_cli(clip, tmp_path_factory):
+    """Two clips as one batched multi-clip engine run (--multi)."""
+    from rssync_tpu.pipeline.recipe import run_multi_recipes
+
+    d2 = tmp_path_factory.mktemp("clip2")
+    clip2 = make_clip(
+        str(d2), seed=9, true_delay=-0.0117, n_frames=26, fps=30.0,
+        width=640, height=480, pad=1.0,
+    )
+    out = tmp_path_factory.mktemp("multi_out")
+    r1 = make_recipe(clip, out)
+    r1["output"]["csv_path"] = str(out / "a.csv")
+    r2 = make_recipe(clip2, out)
+    r2["output"]["csv_path"] = str(out / "b.csv")
+    p1, p2 = str(out / "a.json"), str(out / "b.json")
+    json.dump(r1, open(p1, "w"))
+    json.dump(r2, open(p2, "w"))
+
+    results = run_multi_recipes([p1, p2])
+    assert len(results) == 2
+    for res, c in zip(results, (clip, clip2)):
+        assert res.syncpoints == [0, 8, 16]
+        for dms in res.delays_ms:
+            assert abs(dms - c.true_delay * 1000.0) < 0.5
+    a = np.loadtxt(out / "a.csv", delimiter=",", ndmin=2)
+    assert a.shape == (3, 2)
+
+
+def test_multi_recipe_rejects_mismatched_params(clip, tmp_path):
+    from rssync_tpu.pipeline.recipe import run_multi_recipes
+
+    r1 = make_recipe(clip, tmp_path)
+    r2 = make_recipe(clip, tmp_path, params__sync_window=10)
+    with pytest.raises(ValueError):
+        run_multi_recipes([r1, r2])
