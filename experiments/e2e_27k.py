@@ -81,9 +81,12 @@ json.dump({{"video_path": clip.video_path, "gyro_path": clip.gyro_path,
         capture_output=True, text=True, cwd=args.out,
     )
     wall = time.time() - t0
-    sys.stderr.write(proc.stderr[-3000:])
+    for ln in proc.stderr.splitlines():
+        if "WARNING" not in ln and ln.strip():
+            sys.stderr.write(ln + "\n")
+    for ln in proc.stdout.splitlines():
+        sys.stderr.write("| " + ln + "\n")
     if proc.returncode != 0:
-        sys.stderr.write(proc.stdout[-2000:])
         raise SystemExit(proc.returncode)
 
     import numpy as np
