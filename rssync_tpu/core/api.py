@@ -57,6 +57,56 @@ class _FrameData(NamedTuple):
 _US_IN_SEC = 1_000_000
 
 
+def resample_quats_us(
+    ts: np.ndarray, quats: np.ndarray
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Variable-rate resample core (ref: core_private.cpp:142-190):
+    mean rate rounded to the nearest 50 Hz, uniform integer-µs grid,
+    per-sample SLERP. All integer arithmetic mirrors the reference
+    exactly (floor divisions on µs counts).
+
+    ts: (n,) int64 µs. quats: (..., n, 4) f64 — leading axes batch
+    (all variants share timestamps, so the grid and bracketing indices
+    compute once; guess-orient resamples its 48 orientation variants
+    in one call). Returns (rate_hz, grid_ts (m,), quats (..., m, 4)).
+    """
+    count = ts.shape[0]
+    check_monotonic("set-gyro-quaternions", ts)
+
+    # mean rate in µHz, rounded to nearest 50 Hz (ref :146-149)
+    actual_sr_uhz = (1_000_000 * _US_IN_SEC * count) // int(ts[-1] - ts[0])
+    rounded_sr_hz = int(round(actual_sr_uhz / 50.0 / 1_000_000) * 50)
+
+    # uniform grid of integer-µs timestamps (ref :151-155). The
+    # reference's std::ceil(ts[0]*sr / k_us_in_sec) runs AFTER an
+    # int64/uint64 division, so it is a no-op on an already
+    # floor-divided integer — the grid starts one sample earlier
+    # than a true ceiling whenever ts[0]*sr % 1e6 != 0.
+    first_sample = int(ts[0]) * rounded_sr_hz // _US_IN_SEC
+    # closed-form count of grid samples with floor-µs timestamps
+    # below ts[-1] (identical to the reference's increment loop)
+    last_excl = (int(ts[-1]) * rounded_sr_hz + _US_IN_SEC - 1) // _US_IN_SEC
+    s = np.arange(first_sample, max(first_sample, last_excl), dtype=np.int64)
+    new_ts = _US_IN_SEC * s // rounded_sr_hz
+    new_ts = new_ts[new_ts < ts[-1]]
+
+    # bracketing indices + SLERP (ref :166-182)
+    idx = np.searchsorted(ts, new_ts, side="left")
+    lo = np.maximum(idx - 1, 0)
+    hi = np.minimum(idx, count - 1)
+    denom = (ts[hi] - ts[lo]).astype(np.float64)
+    t = np.where(
+        denom > 0, (new_ts - ts[lo]) / np.where(denom > 0, denom, 1.0), 0.0
+    )
+    # idx == 0 -> take sample 0 directly (ref :178-180)
+    t = np.where(idx > 0, t, 0.0)
+    p = jnp.asarray(quats[..., lo, :])
+    r = jnp.asarray(quats[..., hi, :])
+    tb = jnp.broadcast_to(jnp.asarray(t), p.shape[:-1])
+    new_q = np.asarray(quat.slerp(p, r, tb))
+    return rounded_sr_hz, new_ts, new_q
+
+
 class SyncProblem:
     """One gyro-to-video synchronization problem instance."""
 
@@ -101,39 +151,9 @@ class SyncProblem:
         """
         ts = np.asarray(timestamps_us, np.int64)
         q = np.asarray(quats, np.float64).reshape(-1, 4)
-        count = ts.shape[0]
-        if q.shape[0] != count:
+        if q.shape[0] != ts.shape[0]:
             raise ValueError("timestamps/quats length mismatch")
-        check_monotonic("set-gyro-quaternions", ts)
-
-        # mean rate in µHz, rounded to nearest 50 Hz (ref :146-149)
-        actual_sr_uhz = (1_000_000 * _US_IN_SEC * count) // int(ts[-1] - ts[0])
-        rounded_sr_hz = int(round(actual_sr_uhz / 50.0 / 1_000_000) * 50)
-
-        # uniform grid of integer-µs timestamps (ref :151-155). The
-        # reference's std::ceil(ts[0]*sr / k_us_in_sec) runs AFTER an
-        # int64/uint64 division, so it is a no-op on an already
-        # floor-divided integer — the grid starts one sample earlier
-        # than a true ceiling whenever ts[0]*sr % 1e6 != 0.
-        first_sample = int(ts[0]) * rounded_sr_hz // _US_IN_SEC
-        samples = []
-        s = first_sample
-        while _US_IN_SEC * s // rounded_sr_hz < ts[-1]:
-            samples.append(_US_IN_SEC * s // rounded_sr_hz)
-            s += 1
-        new_ts = np.asarray(samples, np.int64)
-
-        # bracketing indices + SLERP (ref :166-182)
-        idx = np.searchsorted(ts, new_ts, side="left")
-        lo = np.maximum(idx - 1, 0)
-        hi = np.minimum(idx, count - 1)
-        denom = (ts[hi] - ts[lo]).astype(np.float64)
-        t = np.where(denom > 0, (new_ts - ts[lo]) / np.where(denom > 0, denom, 1.0), 0.0)
-        # idx == 0 -> take sample 0 directly (ref :178-180)
-        t = np.where(idx > 0, t, 0.0)
-        new_q = np.asarray(
-            quat.slerp(jnp.asarray(q[lo]), jnp.asarray(q[hi]), jnp.asarray(t))
-        )
+        rounded_sr_hz, new_ts, new_q = resample_quats_us(ts, q)
         check_finite("set-gyro-quaternions: sample after interpolation", new_q)
 
         self._sample_rate = float(rounded_sr_hz)

@@ -138,6 +138,37 @@ def make_spline_table(
     )
 
 
+def make_spline_tables_batched(
+    quats: np.ndarray, sample_rate: float, dtype=jnp.float32
+) -> SplineTable:
+    """Fit V spline tables at once: quats (V, n, 4) on one uniform
+    grid -> SplineTable with a leading V axis on every leaf (vmap-able;
+    guess-orient fits its 48 orientation variants in one Thomas solve
+    over 4V rows)."""
+    quats = np.asarray(quats, np.float64)
+    V, n, R = quats.shape
+    rows = quats.transpose(0, 2, 1).reshape(V * R, n)
+    coeffs = fit_natural_cubic(rows)  # (n, V*R, 4)
+    # pack per variant: row c*R + r holds coefficient c of spline row r
+    packed = np.ascontiguousarray(
+        coeffs.reshape(n, V, R, 4).transpose(1, 3, 2, 0).reshape(V, 4 * R, n)
+    )
+    padded = np.concatenate(
+        [
+            np.repeat(packed[..., :1], WIDE_PAD, axis=-1),
+            packed,
+            np.repeat(packed[..., -1:], WIDE_PAD, axis=-1),
+        ],
+        axis=-1,
+    )
+    rate = np.full((V,), sample_rate)
+    return SplineTable(
+        coeffs=jnp.asarray(packed, dtype=dtype),
+        coeffs_padded=jnp.asarray(padded, dtype=dtype),
+        sample_rate=jnp.asarray(rate, dtype=dtype),
+    )
+
+
 def build_track_window(
     frames_ts_a: Sequence[np.ndarray],
     frames_ts_b: Sequence[np.ndarray],

@@ -49,21 +49,23 @@ def integrate_gyro(
 ) -> np.ndarray:
     """Integrate angular rates into orientations, f64 on host.
 
-    timestamps: (n,) seconds. gyro: (n, 3) rad/s (body rates).
-    Returns (n, 4) f64 wxyz quaternions with q_0 = identity and
-    q_i = normalize(dq_i * q_{i-1}), dq_i = exp(omega_i * (t_i -
-    t_{i-1})) — the left-multiply convention of ref
-    core_testcode.cpp:41-46. `dtype` is accepted for API compatibility
-    and ignored (output is always f64, like the reference).
+    timestamps: (n,) seconds. gyro: (..., n, 3) rad/s (body rates;
+    leading axes batch — guess-orient integrates its 48 orientation
+    variants in one call). Returns (..., n, 4) f64 wxyz quaternions
+    with q_0 = identity and q_i = normalize(dq_i * q_{i-1}), dq_i =
+    exp(omega_i * (t_i - t_{i-1})) — the left-multiply convention of
+    ref core_testcode.cpp:41-46. `dtype` is accepted for API
+    compatibility and ignored (output is always f64, like the
+    reference).
     """
     del dtype
     ts = np.asarray(timestamps, np.float64)
     g = np.asarray(gyro, np.float64)
     n = ts.shape[0]
     if n == 0:
-        return np.zeros((0, 4))
+        return np.zeros(g.shape[:-2] + (0, 4))
     dt = np.diff(ts)
-    dq = _quat_from_aa64(g[1:] * dt[:, None])  # (n-1, 4)
+    dq = _quat_from_aa64(g[..., 1:, :] * dt[:, None])  # (..., n-1, 4)
 
     # Quaternion composition is associative, so the left-multiply fold
     # becomes a Hillis-Steele doubling scan: prefix[i] = dq_i * ... *
@@ -73,16 +75,16 @@ def integrate_gyro(
     # tests/test_frontend.py against the sequential fold).
     m = dq.copy()
     shift = 1
-    while shift < m.shape[0]:
-        m[shift:] = _quat_mul64(m[shift:], m[:-shift])
+    while shift < m.shape[-2]:
+        m[..., shift:, :] = _quat_mul64(m[..., shift:, :], m[..., :-shift, :])
         m /= np.maximum(
             np.linalg.norm(m, axis=-1, keepdims=True), 1e-300
         )
         shift *= 2
 
-    out = np.empty((n, 4))
-    out[0] = (1.0, 0.0, 0.0, 0.0)
-    out[1:] = m
+    out = np.empty(g.shape[:-2] + (n, 4))
+    out[..., 0, :] = (1.0, 0.0, 0.0, 0.0)
+    out[..., 1:, :] = m
     return out
 
 

@@ -18,9 +18,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rssync_tpu.core.api import SyncProblem
+from rssync_tpu.core.api import SyncProblem, resample_quats_us
 from rssync_tpu.core.presync import window_cost
-from rssync_tpu.core.problem import SplineTable
+from rssync_tpu.core.problem import SplineTable, make_spline_tables_batched
 from rssync_tpu.frontend.integrate import integrate_gyro
 from rssync_tpu.frontend.lens_profiles import load_lens_profile
 from rssync_tpu.frontend.telemetry import apply_orientation, load_gyro
@@ -71,19 +71,25 @@ def run_guess_orient(
     data = load_gyro(inp["gyro_path"], orient=None)
     variants = all_orientations()
 
-    # integrate + resample + fit per variant (host); identical
-    # timestamps for all variants -> identical resample grid and
-    # window tensors.
+    # integrate + resample + fit ALL 48 variants as one host batch:
+    # timestamps are shared, so the resample grid, SLERP brackets, and
+    # the Thomas solve run once over a (48, n)-shaped batch (the
+    # reference reloads the gyro and reruns everything 48 times,
+    # ref :186-231; round-1 here still looped the host stage).
+    if progress:
+        print(f"testing {len(variants)} orientation variants...", flush=True)
     ts_us = (data.timestamps * 1_000_000).astype(np.int64)
+    oriented = np.stack(
+        [apply_orientation(data.gyro, v) for v in variants]
+    )  # (V, n, 3)
+    quats = integrate_gyro(data.timestamps, oriented)  # (V, n, 4)
+    rate_hz, new_ts, new_q = resample_quats_us(ts_us, quats)
+    stacked = make_spline_tables_batched(new_q, float(rate_hz))
+
     sp = SyncProblem(seed=seed)
-    tables = []
-    for v in variants:
-        if progress:
-            print(f"testing {v}...", flush=True)
-        quats = integrate_gyro(data.timestamps, apply_orientation(data.gyro, v))
-        sp.set_gyro_quaternions_us(ts_us, quats)
-        tables.append(sp.spline_table)
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tables)
+    # any variant works for the window build (rays/timestamps only);
+    # feed variant 0 so quats_start/sample_rate are set
+    sp.set_gyro_quaternions_us(ts_us, quats[0])
 
     lens = load_lens_profile(
         inp["lens_profile"]["path"], inp["lens_profile"]["name"]
