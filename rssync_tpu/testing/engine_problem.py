@@ -27,6 +27,9 @@ class EngineProblem:
     true_delay: float
     fps: float
     sync_window: int
+    #: ground-truth delay as a function of video time (seconds); equals
+    #: the constant `true_delay` unless delay_drift/delay_curve are set
+    delay_at: object = None
 
 
 def _angles(t, seed, amp=0.35):
@@ -56,6 +59,8 @@ def make_engine_problem(
     true_delay: float = 0.0423,
     noise: float = 2e-4,
     pad: float = 1.0,
+    delay_drift: float = 0.0,
+    delay_curve: float = 0.0,
 ) -> EngineProblem:
     """Reference-recipe-shaped workload (README.md:15-44 operating
     point by default: 60-frame windows every 120 frames, 11.11 ms
@@ -64,11 +69,17 @@ def make_engine_problem(
     rng = np.random.default_rng(seed)
     n_frames = int(duration * fps)
 
+    def delay_at(t):
+        # slowly drifting gyro clock (thesis `longtermdrift` scenario,
+        # BASELINE.md linearity row): d(t) = d0 + drift*t + curve*t^2
+        t = np.asarray(t, np.float64)
+        return true_delay + delay_drift * t + delay_curve * t * t
+
     # gyro log: orientation at gyro-clock tau comes from video time
-    # tau - true_delay; log starts pad seconds before frame 0
+    # tau - d(tau); log starts pad seconds before frame 0
     n_g = int((duration + 2 * pad) * gyro_rate)
     tau = np.arange(n_g) / gyro_rate - pad
-    ang = _angles(tau - true_delay, seed)
+    ang = _angles(tau - delay_at(tau), seed)
     quats_rot = Rotation.from_euler("ZYX", ang[:, ::-1]).inv()
     q = quats_rot.as_quat()  # xyzw
     quats = np.concatenate([q[:, 3:4], q[:, :3]], axis=1)
@@ -122,4 +133,5 @@ def make_engine_problem(
         true_delay=true_delay,
         fps=fps,
         sync_window=sync_window,
+        delay_at=delay_at,
     )
