@@ -126,3 +126,40 @@ def batched_sync(
     return jax.vmap(
         lambda w, d0, c, r, k: sync_window(table, w, d0, c, r, k, wide=wide)
     )(wins, initial_delays, search_centers, radius, keys)
+
+
+@partial(jax.jit, static_argnames=("wide", "passes"))
+def batched_sync_pipeline(
+    table: SplineTable,
+    wins_open: TrackWindow,
+    wins_closed: TrackWindow,
+    delays: jnp.ndarray,
+    initial_delay,
+    search_radius,
+    key: jax.Array,
+    wide: bool = False,
+    passes: int = 4,
+) -> tuple[jnp.ndarray, list[SyncResult]]:
+    """The whole per-clip engine in ONE dispatch: batched PreSync over
+    the delay grid, then `passes` Sync re-estimations (the driver's
+    4x loop, ref core_testcode.cpp:308-314) with search_center =
+    initial_delay — each pass re-initializing motion/k at the new
+    delay, exactly like separate Sync calls. One launch instead of
+    1 + passes (the remote-dispatch overhead of this environment is
+    ~38 ms per call).
+
+    Returns (presync_best (W,), [SyncResult per pass])."""
+    keys = jax.random.split(key, passes + 1)
+    _, best = batched_presync(table, wins_open, delays, keys[0], wide=wide)
+    W = wins_open.frame_mask.shape[0]
+    centers = jnp.full((W,), initial_delay, best.dtype)
+    cur = best
+    results = []
+    for i in range(passes):
+        res = batched_sync(
+            table, wins_closed, cur, centers, search_radius, keys[i + 1],
+            wide=wide,
+        )
+        cur = res.delay
+        results.append(res)
+    return best, results
