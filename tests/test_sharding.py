@@ -80,3 +80,33 @@ def test_pad_to_multiple(batch_problem):
     assert orig == 4
     assert padded.frame_mask.shape[0] == 8
     assert float(padded.frame_mask[4:].sum()) == 0.0
+
+
+def test_fused_pipeline_matches_separate(batch_problem):
+    """batched_sync_pipeline (one dispatch) == presync + 4x sync with
+    the same key schedule."""
+    scene, table, wins = batch_problem
+    delays = jnp.asarray(np.linspace(-0.05, 0.05, 21), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    best_f, results = pbatch.batched_sync_pipeline(
+        table, wins, wins, delays, 0.0, 0.1, key, wide=True, passes=4
+    )
+
+    keys = jax.random.split(key, 5)
+    _, best_s = pbatch.batched_presync(table, wins, delays, keys[0], wide=True)
+    W = wins.frame_mask.shape[0]
+    centers = jnp.zeros((W,), jnp.float32)
+    cur = best_s
+    for i in range(4):
+        res = pbatch.batched_sync(
+            table, wins, cur, centers, 0.1, keys[i + 1], wide=True
+        )
+        cur = res.delay
+
+    np.testing.assert_allclose(np.asarray(best_f), np.asarray(best_s))
+    np.testing.assert_allclose(
+        np.asarray(results[-1].delay), np.asarray(cur), atol=1e-7
+    )
+    err = np.abs(np.asarray(cur, np.float64) - scene.true_delay)
+    assert err.max() < 5e-4
