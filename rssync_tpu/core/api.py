@@ -100,11 +100,26 @@ def resample_quats_us(
     )
     # idx == 0 -> take sample 0 directly (ref :178-180)
     t = np.where(idx > 0, t, 0.0)
-    p = jnp.asarray(quats[..., lo, :])
-    r = jnp.asarray(quats[..., hi, :])
-    tb = jnp.broadcast_to(jnp.asarray(t), p.shape[:-1])
-    new_q = np.asarray(quat.slerp(p, r, tb))
+    # host-f64 SLERP (same semantics as ops/quat.slerp: antipodal flip
+    # + small-angle lerp fallback, ref quat.cpp:55-74). Ingest is
+    # host-side; routing through jnp here costs ~100 s of tiny-op
+    # compiles on the remote backend's first call.
+    new_q = _slerp64(quats[..., lo, :], quats[..., hi, :], t)
     return rounded_sr_hz, new_ts, new_q
+
+
+def _slerp64(p: np.ndarray, q: np.ndarray, t: np.ndarray) -> np.ndarray:
+    t = np.broadcast_to(np.asarray(t, np.float64), p.shape[:-1])[..., None]
+    d = np.sum(p * q, axis=-1, keepdims=True)
+    q = np.where(d < 0.0, -q, q)
+    d = np.abs(d)
+    theta = np.arccos(np.clip(d, -1.0, 1.0))
+    sin_theta = np.sin(theta)
+    big = theta > 1e-9
+    safe_sin = np.where(big, sin_theta, 1.0)
+    m1 = np.where(big, np.sin((1.0 - t) * theta) / safe_sin, 1.0 - t)
+    m2 = np.where(big, np.sin(t * theta) / safe_sin, t)
+    return m1 * p + m2 * q
 
 
 class SyncProblem:

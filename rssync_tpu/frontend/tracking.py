@@ -796,6 +796,23 @@ def track_frames(
     it = src.frames(frame_begin, frame_end + 1)
     carry: Frame | None = None
     done = False
+    # one-deep software pipeline: dispatch block k, decode block k+1
+    # while the device tracks k, fetch k's result only then — decode
+    # (host) and tracking (device+tunnel) overlap instead of
+    # serializing per block
+    pending: tuple[list[Frame], jnp.ndarray] | None = None
+
+    def drain(p):
+        p_frames, fut = p
+        tracked_all = np.asarray(fut)
+        for i in range(len(p_frames) - 1):
+            emit(
+                p_frames[i].index,
+                tracked_all[i],
+                p_frames[i].timestamp,
+                p_frames[i + 1].timestamp,
+            )
+
     while not done:
         frames = [carry] if carry is not None else []
         while len(frames) < block + 1:
@@ -812,16 +829,12 @@ def track_frames(
                 flush=True,
             )
         stack = jnp.asarray(np.stack([f.gray for f in frames]))  # u8 on device
-        tracked_all = np.asarray(
-            lk_track_video(
-                stack, grid_step=grid_step or auto_grid_step(src.width)
-            )
-        )
-        for i in range(len(frames) - 1):
-            emit(
-                frames[i].index,
-                tracked_all[i],
-                frames[i].timestamp,
-                frames[i + 1].timestamp,
-            )
+        fut = lk_track_video(
+            stack, grid_step=grid_step or auto_grid_step(src.width)
+        )  # async dispatch; not fetched yet
+        if pending is not None:
+            drain(pending)
+        pending = (frames, fut)
         carry = frames[-1]
+    if pending is not None:
+        drain(pending)
