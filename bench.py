@@ -35,6 +35,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from rssync_tpu.utils.timing import enable_compile_cache
+
+    enable_compile_cache()
+
     from rssync_tpu.frontend.tracking import grid_points, lk_track_video
     from rssync_tpu.parallel.batch import (
         batched_presync,

@@ -43,6 +43,10 @@ def main(argv=None) -> int:
                     help="frame range override for --guess-orient")
     args = ap.parse_args(argv)
 
+    from rssync_tpu.utils.timing import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.guess_orient:
         from rssync_tpu.pipeline.guess_orient import run_guess_orient
 
