@@ -79,11 +79,15 @@ def jax_profiler_trace(log_dir: str | None):
 
 
 def enable_compile_cache(cache_dir: str | None = None) -> None:
-    """Turn on JAX's persistent compilation cache (verified working on
-    the axon remote backend: a cross-process recompile of the same
-    program drops ~10x). The engine's batched PreSync/Sync programs
-    cost ~85 s of XLA compile on first use; with the cache that is
-    once per machine, not once per process.
+    """Turn on JAX's persistent compilation cache. The engine's
+    batched PreSync/Sync programs cost ~85 s of XLA compile on first
+    use; with the cache that is once per machine, not once per
+    process.
+
+    NOT enabled under the axon remote backend: small programs
+    round-trip the cache fine there, but reloading the large tracking
+    executable from cache hangs the process (measured — second
+    process stalls >400 s where a fresh compile takes ~16 s).
 
     Called by the CLI entry and bench; library users opt in themselves
     (we never override an explicitly configured cache)."""
@@ -91,6 +95,8 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
 
     import jax
 
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return
     if jax.config.jax_compilation_cache_dir:
         return
     cache_dir = cache_dir or os.path.join(
