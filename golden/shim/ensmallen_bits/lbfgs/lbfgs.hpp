@@ -2,17 +2,24 @@
 // reference Sync's per-frame motion refinement (core_private.cpp:262-296)
 // without the real ensmallen library.
 //
-// Standard two-loop-recursion L-BFGS (memory 10) with Armijo
-// backtracking line search (c1 = 1e-4, halving, <= 50 trials),
-// stopping on MinGradientNorm / MaxIterations / no line-search
-// progress. NOTE (documented deviation): real ensmallen uses a
-// cubic-interpolating Wolfe line search, so iterate trajectories
-// differ; both converge to the same per-frame minimum (smooth 3-dof
-// objective, gradient-norm stop), which is what the golden Sync
-// comparison relies on.
+// Standard two-loop-recursion L-BFGS (memory 10) with ensmallen's
+// strong-Wolfe line search policy: per-trial EvaluateWithGradient,
+// Armijo constant c1 = 1e-4, Wolfe constant c2 = 0.9, step width
+// x2.1 when curvature is still too negative, x0.5 on Armijo or
+// strong-curvature failure, <= 50 trials, step clamped to
+// [1e-20, 1e20]; stopping on MinGradientNorm / MaxIterations /
+// line-search failure. NOTE: these are ensmallen's documented L-BFGS
+// defaults reconstructed from knowledge of its source (the library
+// itself is not installable here — zero egress, see
+// golden/build_attempt.log); round 2's shim used plain Armijo
+// halving, which made inner iterate trajectories diverge from real
+// ensmallen's; this version follows the real step-size policy, and
+// the golden harness additionally compares Sync iterate trajectories
+// (tests/test_golden.py), not only converged delays.
 #pragma once
 
 #include <armadillo>
+#include <cmath>
 #include <cstddef>
 
 namespace ens {
@@ -59,24 +66,37 @@ class L_BFGS {
                 gd = -arma::dot(g, g);
             }
 
-            // Armijo backtracking
+            // ensmallen strong-Wolfe line search (c1 1e-4, c2 0.9,
+            // inc 2.1, dec 0.5, <= 50 trials, per-trial gradient)
+            const double c1 = 1e-4, c2 = 0.9, inc = 2.1, dec = 0.5;
             double t = 1.0;
             double f_new = fx;
             arma::mat x_new = x;
+            arma::mat g_new(d, 1);
             bool accepted = false;
             for (int ls = 0; ls < 50; ++ls) {
                 x_new = x + t * dir;
-                f_new = evaluate_only(f, x_new);
-                if (f_new <= fx + 1e-4 * t * gd) {
-                    accepted = true;
-                    break;
+                f_new = f.EvaluateWithGradient(x_new, g_new);
+                double width;
+                if (std::isnan(f_new)) break;
+                if (f_new > fx + c1 * t * gd) {
+                    width = dec;
+                } else {
+                    const double gd_new = arma::dot(g_new, dir);
+                    if (gd_new < c2 * gd) {
+                        width = inc;
+                    } else if (gd_new > -c2 * gd) {
+                        width = dec;
+                    } else {
+                        accepted = true;
+                        break;
+                    }
                 }
-                t *= 0.5;
+                t *= width;
+                if (t < 1e-20 || t > 1e20) break;
             }
             if (!accepted) break;
 
-            arma::mat g_new(d, 1);
-            f_new = f.EvaluateWithGradient(x_new, g_new);
             arma::mat s = x_new - x;
             arma::mat y = g_new - g;
             double sy = arma::dot(s, y);
@@ -98,12 +118,6 @@ class L_BFGS {
     }
 
    private:
-    template <class F>
-    static double evaluate_only(F& f, const arma::mat& x) {
-        arma::mat g(x.size(), 1);
-        return f.EvaluateWithGradient(const_cast<arma::mat&>(x), g);
-    }
-
     std::size_t max_iterations_ = 10;
     double min_gradient_norm_ = 1e-6;
 };

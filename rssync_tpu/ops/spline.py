@@ -24,10 +24,11 @@ Boundary semantics replicate the reference exactly for x <= n
 (ref: minispline.cpp:48-55): inside [0, n-1] the cubic; for x < 0 a
 quadratic continuation of segment 0; for x > n-1 a quadratic
 continuation of segment n-1 (whose c coefficient is 0, so effectively
-linear). The reference has a far-extrapolation quirk for x >= n (its
-`h` is measured from min(floor(x), n) while coefficients stay at n-1,
-producing a jump at x = n); we deviate and extrapolate continuously —
-documented here because no in-range workload can hit it.
+linear). The reference additionally has a far-extrapolation quirk for
+x >= n (its `h` is measured from min(floor(x), n) while coefficients
+stay at n-1, producing a jump at x = n); all eval sites here REPLICATE
+that discontinuity (golden-verified vs the compiled reference engine;
+see golden/README.md and the `ref quirk` comments below).
 """
 
 from __future__ import annotations

@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rssync_tpu.ops import spline
 from rssync_tpu.utils.timing import Timings
 from rssync_tpu.utils import track_cache

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rssync_tpu.core import presync as presync_mod
 from rssync_tpu.core import ransac
 from rssync_tpu.core import sync as sync_mod

@@ -17,6 +17,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rssync_tpu.core import presync as presync_mod
 from rssync_tpu.core import sync as sync_mod
 from rssync_tpu.core.problem import (

@@ -9,6 +9,10 @@ resolution (~30 us at t=400), so this exercises the host-f64 index
 splitting end to end.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

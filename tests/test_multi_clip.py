@@ -2,6 +2,10 @@
 tables and different true delays recover each clip's delay in one
 batched launch, including sharded over the CPU mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

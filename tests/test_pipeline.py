@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rssync_tpu.analysis.metrics import sync_rmse_from_csv
 from rssync_tpu.pipeline.recipe import run_recipe
 from rssync_tpu.testing.synthvideo import make_clip

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rssync_tpu.core.problem import build_track_window, make_spline_table
 from rssync_tpu.parallel import batch as pbatch
 from rssync_tpu.parallel import mesh as pmesh
