@@ -40,6 +40,8 @@ def _lib():
     lib.golden_destroy.argtypes = [ctypes.c_void_p]
     lib.golden_set_gyro_fixed.argtypes = [
         ctypes.c_void_p, DP, ctypes.c_size_t, ctypes.c_double, ctypes.c_double]
+    lib.golden_set_gyro_us.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), DP, ctypes.c_size_t]
     lib.golden_set_track.argtypes = (
         [ctypes.c_void_p, ctypes.c_int64] + [DP] * 4 + [ctypes.c_size_t])
     lib.golden_presync.argtypes = [
@@ -73,15 +75,25 @@ def _dp(a):
 class Golden:
     """ctypes wrapper over one reference SyncProblem."""
 
-    def __init__(self, lib, scene):
+    def __init__(self, lib, scene, us_intake=False):
         self.lib = lib
         self.p = lib.golden_create()
         q = np.ascontiguousarray(scene.quats_wxyz, np.float64)
         assert q.shape[1] == 4
         self._keep = [q]
-        lib.golden_set_gyro_fixed(
-            self.p, _dp(q), q.shape[0], float(scene.gyro_rate),
-            float(scene.gyro_ts[0]))
+        if us_intake:
+            # exercise the variable-rate intake (50 Hz rounding + SLERP
+            # resample, ref core_private.cpp:142-190)
+            ts_us = np.ascontiguousarray(
+                np.round(np.asarray(scene.gyro_ts) * 1e6).astype(np.int64))
+            self._keep.append(ts_us)
+            lib.golden_set_gyro_us(
+                self.p, ts_us.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                _dp(q), q.shape[0])
+        else:
+            lib.golden_set_gyro_fixed(
+                self.p, _dp(q), q.shape[0], float(scene.gyro_rate),
+                float(scene.gyro_ts[0]))
         self.counts = {}
         for f, (ts_a, ts_b, rays_a, rays_b) in scene.frames.items():
             ra = np.ascontiguousarray(np.asarray(rays_a, np.float64))
@@ -130,6 +142,34 @@ class Golden:
                              ctypes.byref(c), ctypes.byref(d))
         return c.value, d.value
 
+    def sync_traced(self, initial, fb, fe, center, radius):
+        """sync() + the engine's per-iteration stderr trace
+        `<delay> <step_size>` (ref core_private.cpp:330), captured via
+        an fd-2 redirect. Returns (cost, delay, traj (n_iters, 2))."""
+        import tempfile
+
+        sys.stderr.flush()
+        old = os.dup(2)
+        tmp = tempfile.TemporaryFile()
+        os.dup2(tmp.fileno(), 2)
+        try:
+            c, d = self.sync(initial, fb, fe, center, radius)
+        finally:
+            os.dup2(old, 2)
+            os.close(old)
+        tmp.seek(0)
+        rows = []
+        for ln in tmp.read().decode(errors="replace").splitlines():
+            parts = ln.split()
+            if len(parts) == 2:
+                try:
+                    rows.append([float(parts[0]), float(parts[1])])
+                except ValueError:
+                    pass
+        tmp.close()
+        traj = np.asarray(rows, np.float64).reshape(-1, 2)
+        return c, d, traj
+
     def debug_presync(self, initial, fb, fe, radius, n):
         delays = np.zeros(n, np.float64)
         costs = np.zeros(n, np.float64)
@@ -151,6 +191,16 @@ SCENES = {
     "rot16": dict(seed=8, true_delay=-0.0442, n_frames=16, n_points=80),
     "trans12": dict(seed=3, true_delay=0.0185, n_frames=12, n_points=60,
                     translation_speed=0.8),
+    # round-3 additions (VERDICT r2 item 5b):
+    # near-degenerate low-feature frames (RANSAC quartile index n/4=2)
+    "lowfeat": dict(seed=5, true_delay=0.012, n_frames=10, n_points=10),
+    # translation-dominant scene, much stronger than trans12
+    "trans30": dict(seed=13, true_delay=-0.021, n_frames=12, n_points=70,
+                    translation_speed=2.5),
+    # variable-rate gyro -> micro-second intake path (50 Hz rounding +
+    # SLERP resample) on BOTH engines
+    "varrate": dict(seed=21, true_delay=0.0305, n_frames=12, n_points=60,
+                    rate_jitter=0.35),
 }
 
 PROBE_DELAYS = [-0.05, -0.0442, 0.0, 0.013, 0.05]
@@ -163,8 +213,12 @@ def main():
     out = {}
     for name, cfg in SCENES.items():
         scene = make_scene(**cfg)
-        g = Golden(lib, scene)
+        g = Golden(lib, scene, us_intake=cfg.get("rate_jitter", 0.0) > 0.0)
         F = cfg["n_frames"]
+        # the effective spline params differ from the raw log under the
+        # us intake (50 Hz rounding + resample); export for test parity
+        out[f"{name}/gyro_params"] = np.array(
+            [g.lib.golden_sample_rate(g.p), g.lib.golden_quats_start(g.p)])
 
         for d in PROBE_DELAYS:
             for f in (0, F // 2, F - 2):
@@ -188,9 +242,12 @@ def main():
 
         delay = d
         finals = []
-        for _ in range(4):
-            _, delay = g.sync(delay, 0, F - 1, d, 0.2)
+        for p in range(4):
+            _, delay, traj = g.sync_traced(delay, 0, F - 1, d, 0.2)
             finals.append(delay)
+            # per-iteration (delay, step_size) of the REAL engine
+            # (6-sig-digit stderr precision) for trajectory parity
+            out[f"{name}/sync_traj/p{p}"] = traj
         out[f"{name}/sync_delays"] = np.array(finals)
         print(f"{name}: presync={d:+.4f}  sync={delay:+.6f}  "
               f"true={cfg['true_delay']:+.6f}  "

@@ -149,15 +149,21 @@ def batched_lbfgs(
     max_iters: int = LBFGS_MAX_ITERS,
     min_grad_norm: float = LBFGS_MIN_GRAD,
     mem: int = LBFGS_MEM,
-    ls_trials: int = 30,
+    ls_trials: int = 50,
     armijo_c1: float = 1e-4,
+    wolfe_c2: float = 0.9,
 ) -> jnp.ndarray:
     """Minimize B independent small problems simultaneously.
 
     value_and_grad_fn: (B, d) -> ((B,), (B, d)); must be safe on frozen
     (converged / masked) lanes. Mirrors the role of the reference's
     per-frame ensmallen L-BFGS (ref :262-296), batched: every frame of
-    every window steps in lockstep, converged lanes freeze.
+    every window steps in lockstep, converged lanes freeze. The line
+    search follows ensmallen's strong-Wolfe policy (c1 1e-4, c2 0.9,
+    step width x2.1 while curvature is too negative, x0.5 on Armijo or
+    strong-curvature failure, <= 50 trials — matching
+    golden/shim/ensmallen_bits/lbfgs/lbfgs.hpp so golden Sync iterate
+    trajectories are comparable).
     """
     B, d = x0.shape
     f0, g0 = value_and_grad_fn(x0)
@@ -180,18 +186,29 @@ def batched_lbfgs(
         d_dir = jnp.where(bad[:, None], -st.g, d_dir)
         gd = jnp.where(bad, -jnp.sum(st.g * st.g, axis=-1), gd)
 
-        # Armijo backtracking from t = 1, early exit once every live
-        # lane has accepted (typically the very first trial)
+        # strong-Wolfe search from t = 1 (ensmallen policy), early
+        # exit once every live lane has accepted (typically the very
+        # first trial)
         def ls_cond(carry):
             i, t, accepted, t_acc = carry
             return (i < ls_trials) & ~jnp.all(accepted)
 
         def ls_body(carry):
             i, t, accepted, t_acc = carry
-            f_try = value_and_grad_fn(st.x + t[:, None] * d_dir)[0]
-            ok = (f_try <= st.f + armijo_c1 * t * gd) & ~accepted
+            f_try, g_try = value_and_grad_fn(st.x + t[:, None] * d_dir)
+            armijo_fail = f_try > st.f + armijo_c1 * t * gd
+            gd_new = jnp.sum(g_try * d_dir, axis=-1)
+            too_negative = gd_new < wolfe_c2 * gd          # -> widen x2.1
+            overshoot = gd_new > -wolfe_c2 * gd            # -> shrink x0.5
+            ok = ~armijo_fail & ~too_negative & ~overshoot & ~accepted
             t_acc = jnp.where(ok, t, t_acc)
-            return i + 1, t * 0.5, accepted | ok, t_acc
+            width = jnp.where(armijo_fail | overshoot, 0.5, 2.1)
+            t_new = jnp.where(accepted | ok, t, t * width)
+            # a lane whose step leaves [1e-20, 1e20] has failed: freeze
+            # it with t_acc = 0 (outer loop then marks it done)
+            out = (t_new < 1e-20) | (t_new > 1e20)
+            accepted = accepted | ok | out
+            return i + 1, t_new, accepted, t_acc
 
         t0 = jnp.ones((B,), x0.dtype)
         _, _, accepted, t_acc = jax.lax.while_loop(

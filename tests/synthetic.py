@@ -63,6 +63,7 @@ def make_scene(
     translation_speed=0.0,
     start_time=1.0,
     duration_pad=3.0,
+    rate_jitter=0.0,
 ) -> SyntheticScene:
     """Build a scene. Camera at origin (or translating) looking at a
     random point cloud; intrinsics-free: we generate unit rays
@@ -99,9 +100,18 @@ def make_scene(
         gyro_ts=None,
     )
 
-    # gyro log: sampled on the gyro clock; gyro time = video time + delay
+    # gyro log: sampled on the gyro clock; gyro time = video time + delay.
+    # rate_jitter > 0 perturbs each inter-sample interval by
+    # U(1-j, 1+j)/rate (monotonic, mean rate preserved) — exercises the
+    # variable-rate micro-second intake path (its 50 Hz rate rounding +
+    # SLERP resample, ref core_private.cpp:142-190).
     n_gyro = int(duration * gyro_rate)
-    gyro_ts = np.arange(n_gyro) / gyro_rate
+    if rate_jitter > 0.0:
+        dts = rng.uniform(1.0 - rate_jitter, 1.0 + rate_jitter, n_gyro - 1)
+        dts /= dts.mean() * gyro_rate
+        gyro_ts = np.concatenate([[0.0], np.cumsum(dts)])
+    else:
+        gyro_ts = np.arange(n_gyro) / gyro_rate
     video_times = gyro_ts - true_delay  # orientation is a function of video time
     quats = []
     for tv in video_times:
