@@ -18,6 +18,7 @@
 // rssync_tpu/frontend/telemetry.py bit-for-bit on the supported paths
 // (cross-checked in tests/test_native_gpmf.py).
 
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -78,7 +79,10 @@ bool next_box(const uint8_t* buf, size_t end, size_t* off, Box* out) {
   } else if (size == 0) {
     size = end - *off;
   }
-  if (size < hdr || *off + size > end) return false;
+  // `size` is a raw 64-bit file value: compare against the remaining
+  // span (end - *off) instead of `*off + size` so a huge size cannot
+  // wrap the addition, fake a passing bound, and loop the walk forever
+  if (size < hdr || size > end - *off) return false;
   out->payload_off = *off + hdr;
   out->payload_end = *off + size;
   *off += size;
@@ -138,8 +142,13 @@ size_t scalar_width(uint8_t type) {
 }
 
 // Recursive KLV walk; collects GYRO streams found under this payload.
+// depth-capped: adversarial nesting (every 8 bytes one level) would
+// otherwise grow the native stack linearly with file size.
+constexpr int kMaxKlvDepth = 64;
+
 void parse_klv(const uint8_t* buf, size_t start, size_t end,
-               std::vector<Stream>* streams, Stream* cur) {
+               std::vector<Stream>* streams, Stream* cur, int depth = 0) {
+  if (depth > kMaxKlvDepth) return;
   size_t off = start;
   while (off + 8 <= end) {
     const uint8_t* k = buf + off;
@@ -152,10 +161,10 @@ void parse_klv(const uint8_t* buf, size_t start, size_t end,
     if (type == 0) {  // nested
       if (std::memcmp(k, "STRM", 4) == 0) {
         Stream s;
-        parse_klv(buf, dstart, dstart + dlen, streams, &s);
+        parse_klv(buf, dstart, dstart + dlen, streams, &s, depth + 1);
         if (s.n > 0) streams->push_back(std::move(s));
       } else {
-        parse_klv(buf, dstart, dstart + dlen, streams, cur);
+        parse_klv(buf, dstart, dstart + dlen, streams, cur, depth + 1);
       }
     } else if (cur != nullptr) {
       if (std::memcmp(k, "GYRO", 4) == 0) {
@@ -236,6 +245,205 @@ bool user_orient(std::vector<double>& g, size_t n, const char* orient) {
 
 tp_gyrodata empty() { return tp_gyrodata{0, nullptr, nullptr}; }
 
+// --- GyroFlow JSON telemetry ------------------------------------------------
+// Minimal recursive-descent JSON scanner for gyro-data JSON files:
+// either a top-level array of samples or an object with a "raw_imu"
+// array; each sample an object with "ts" (milliseconds) and "gyro"
+// [x, y, z] in deg/s (GyroFlow's raw_imu convention). Output converts
+// to seconds / rad/s like every other path (ABI parity with the Rust
+// wrapper's normalization, ref lib.rs:50-56). No dependency, strictly
+// bounded by [p, end); malformed input -> fail flag -> empty result.
+
+struct JsonScan {
+  const char* p;
+  const char* end;
+  bool fail = false;
+  int depth = 0;  // recursion guard for skip_value ([[[... bombs)
+
+  void ws() {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+      ++p;
+  }
+  bool lit(const char* s) {
+    size_t l = std::strlen(s);
+    if (size_t(end - p) < l || std::memcmp(p, s, l) != 0) return false;
+    p += l;
+    return true;
+  }
+  double number() {
+    char buf[64];
+    size_t i = 0;
+    while (p < end && i < sizeof(buf) - 1 &&
+           (std::isdigit((unsigned char)*p) || *p == '-' || *p == '+' ||
+            *p == '.' || *p == 'e' || *p == 'E'))
+      buf[i++] = *p++;
+    if (i == 0) { fail = true; return 0.0; }
+    buf[i] = 0;
+    return std::atof(buf);
+  }
+  // skip a string (handles escapes); returns its raw contents span
+  bool string_span(const char** s, size_t* l) {
+    if (p >= end || *p != '"') { fail = true; return false; }
+    ++p;
+    *s = p;
+    while (p < end && *p != '"') {
+      if (*p == '\\') ++p;
+      if (p < end) ++p;
+    }
+    if (p >= end) { fail = true; return false; }
+    *l = size_t(p - *s);
+    ++p;  // closing quote
+    return true;
+  }
+  void skip_value() {
+    ws();
+    if (fail || p >= end || ++depth > 64) { fail = true; return; }
+    struct Dec { int* d; ~Dec() { --*d; } } dec{&depth};
+    if (*p == '"') {
+      const char* s; size_t l;
+      string_span(&s, &l);
+    } else if (*p == '{') {
+      ++p;
+      ws();
+      if (p < end && *p == '}') { ++p; return; }
+      while (p < end && !fail) {
+        ws();
+        const char* s; size_t l;
+        if (!string_span(&s, &l)) return;
+        ws();
+        if (p >= end || *p != ':') { fail = true; return; }
+        ++p;
+        skip_value();
+        ws();
+        if (p < end && *p == ',') { ++p; continue; }
+        break;
+      }
+      ws();
+      if (p < end && *p == '}') ++p; else fail = true;
+    } else if (*p == '[') {
+      ++p;
+      ws();
+      if (p < end && *p == ']') { ++p; return; }
+      while (p < end && !fail) {
+        skip_value();
+        ws();
+        if (p < end && *p == ',') { ++p; continue; }
+        break;
+      }
+      ws();
+      if (p < end && *p == ']') ++p; else fail = true;
+    } else if (lit("true") || lit("false") || lit("null")) {
+    } else {
+      number();
+    }
+  }
+};
+
+// parse one sample object {"ts": ms, "gyro": [x,y,z], ...}
+bool json_sample(JsonScan& js, double* ts, double g[3], bool* have_ts,
+                 bool* have_gyro) {
+  *have_ts = *have_gyro = false;
+  js.ws();
+  if (js.p >= js.end || *js.p != '{') { js.fail = true; return false; }
+  ++js.p;
+  js.ws();
+  if (js.p < js.end && *js.p == '}') { ++js.p; return true; }
+  while (js.p < js.end && !js.fail) {
+    js.ws();
+    const char* s; size_t l;
+    if (!js.string_span(&s, &l)) return false;
+    js.ws();
+    if (js.p >= js.end || *js.p != ':') { js.fail = true; return false; }
+    ++js.p;
+    js.ws();
+    if (l == 2 && std::memcmp(s, "ts", 2) == 0) {
+      *ts = js.number();
+      *have_ts = !js.fail;
+    } else if (l == 4 && std::memcmp(s, "gyro", 4) == 0) {
+      if (js.p >= js.end || *js.p != '[') { js.fail = true; return false; }
+      ++js.p;
+      for (int c = 0; c < 3; ++c) {
+        js.ws();
+        g[c] = js.number();
+        js.ws();
+        if (c < 2) {
+          if (js.p >= js.end || *js.p != ',') { js.fail = true; return false; }
+          ++js.p;
+        }
+      }
+      js.ws();
+      if (js.p >= js.end || *js.p != ']') { js.fail = true; return false; }
+      ++js.p;
+      *have_gyro = true;
+    } else {
+      js.skip_value();
+    }
+    js.ws();
+    if (js.p < js.end && *js.p == ',') { ++js.p; continue; }
+    break;
+  }
+  js.ws();
+  if (js.p < js.end && *js.p == '}') { ++js.p; return !js.fail; }
+  js.fail = true;
+  return false;
+}
+
+bool json_sample_array(JsonScan& js, std::vector<double>* ts,
+                       std::vector<double>* gyro) {
+  js.ws();
+  if (js.p >= js.end || *js.p != '[') { js.fail = true; return false; }
+  ++js.p;
+  js.ws();
+  if (js.p < js.end && *js.p == ']') { ++js.p; return true; }
+  while (js.p < js.end && !js.fail) {
+    double t = 0.0, g[3] = {0, 0, 0};
+    bool ht, hg;
+    if (!json_sample(js, &t, g, &ht, &hg)) return false;
+    if (ht && hg) {
+      ts->push_back(t * 1e-3);  // ms -> s
+      for (int c = 0; c < 3; ++c)
+        gyro->push_back(g[c] * 0.017453292519943295);  // deg/s -> rad/s
+    }
+    js.ws();
+    if (js.p < js.end && *js.p == ',') { ++js.p; continue; }
+    break;
+  }
+  js.ws();
+  if (js.p < js.end && *js.p == ']') { ++js.p; return !js.fail; }
+  js.fail = true;
+  return false;
+}
+
+bool parse_gyroflow_json(const uint8_t* buf, size_t len,
+                         std::vector<double>* ts, std::vector<double>* gyro) {
+  JsonScan js{reinterpret_cast<const char*>(buf),
+              reinterpret_cast<const char*>(buf) + len};
+  js.ws();
+  if (js.p >= js.end) return false;
+  if (*js.p == '[') return json_sample_array(js, ts, gyro) && !js.fail;
+  if (*js.p != '{') return false;
+  ++js.p;
+  js.ws();
+  if (js.p < js.end && *js.p == '}') return false;
+  while (js.p < js.end && !js.fail) {
+    js.ws();
+    const char* s; size_t l;
+    if (!js.string_span(&s, &l)) return false;
+    js.ws();
+    if (js.p >= js.end || *js.p != ':') return false;
+    ++js.p;
+    js.ws();
+    if (l == 7 && std::memcmp(s, "raw_imu", 7) == 0) {
+      return json_sample_array(js, ts, gyro) && !js.fail;
+    }
+    js.skip_value();
+    js.ws();
+    if (js.p < js.end && *js.p == ',') { ++js.p; continue; }
+    break;
+  }
+  return false;
+}
+
 }  // namespace
 
 extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
@@ -253,6 +461,27 @@ extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
   const uint8_t* buf = static_cast<const uint8_t*>(map);
 
   tp_gyrodata result = empty();
+
+  // GyroFlow JSON telemetry: first non-whitespace byte '{' or '['
+  {
+    size_t i = 0;
+    while (i < len && std::isspace(buf[i])) ++i;
+    if (i < len && (buf[i] == '{' || buf[i] == '[')) {
+      std::vector<double> ts, gy;
+      if (parse_gyroflow_json(buf + i, len - i, &ts, &gy) && !ts.empty() &&
+          user_orient(gy, ts.size(), orient)) {
+        size_t n = ts.size();
+        result.samples = n;
+        result.timestamps = static_cast<double*>(malloc(n * sizeof(double)));
+        result.gyro = static_cast<double*>(malloc(n * 3 * sizeof(double)));
+        std::memcpy(result.timestamps, ts.data(), n * sizeof(double));
+        std::memcpy(result.gyro, gy.data(), n * 3 * sizeof(double));
+      }
+      munmap(map, len);
+      return result;
+    }
+  }
+
   do {
     // locate the gpmd trak: any trak whose stsd mentions 'gpmd'
     size_t off = 0;
@@ -397,7 +626,12 @@ extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
     std::vector<double> all_ts, all_gyro;
     double start = 0.0;
     for (uint32_t k = 0; k < sample_count; ++k) {
-      if (sample_off[k] + sizes[k] > len) { start += durs[k]; continue; }
+      // overflow-safe bound: co64 offsets and stsz sizes are raw file
+      // values; `off + size` could wrap uint64 and pass a naive check
+      if (sample_off[k] > len || sizes[k] > len - sample_off[k]) {
+        start += durs[k];
+        continue;
+      }
       if (is_camm) {
         // one little-endian packet per sample: u16 reserved, u16 type,
         // payload; type 2 = angular velocity, 3x f32 rad/s (public

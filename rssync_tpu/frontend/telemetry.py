@@ -1,6 +1,7 @@
 """Camera telemetry ingest: GoPro GPMF (MP4), CAMM (MP4 camera-motion
-metadata — Insta360/Pixel-class cameras), GyroFlow .gcsv, Betaflight
-blackbox CSV (FPV drones), plain CSV.
+metadata — Insta360/Pixel-class cameras), GyroFlow .gcsv, GyroFlow
+JSON gyro data (raw_imu arrays), Betaflight blackbox CSV (FPV drones),
+plain CSV.
 
 Rebuild of the reference's Rust `telemetry-parser-cpp` cdylib
 (ref: rust/telemetry-parser-cpp/src/lib.rs:17-61, C ABI
@@ -79,6 +80,8 @@ def load_gyro(path: str, orient: str | None = None,
     ext = os.path.splitext(path)[1].lower()
     if ext == ".gcsv":
         data = parse_gcsv(path)
+    elif ext in (".json", ".gyroflow"):
+        data = parse_gyroflow_json(path)
     elif ext in (".mp4", ".mov", ".360"):
         data = parse_mp4(path)
     elif ext == ".csv":
@@ -90,9 +93,11 @@ def load_gyro(path: str, orient: str | None = None,
         # content sniff: MP4 starts with a box header whose type is
         # printable 4cc at offset 4 ('ftyp' usually)
         with open(path, "rb") as f:
-            head = f.read(8)
-        if len(head) == 8 and head[4:8] in (b"ftyp", b"moov", b"mdat"):
+            head = f.read(64)
+        if len(head) >= 8 and head[4:8] in (b"ftyp", b"moov", b"mdat"):
             data = parse_mp4(path)
+        elif head.lstrip()[:1] in (b"{", b"["):
+            data = parse_gyroflow_json(path)
         else:
             data = parse_gcsv(path)
     data.gyro = apply_orientation(data.gyro, orient)
@@ -141,8 +146,8 @@ def _native_load(path: str, orient: str | None) -> GyroData | None:
     if lib is None:
         return None
     ext = os.path.splitext(path)[1].lower()
-    if ext not in (".mp4", ".mov", ".360"):
-        return None  # native parser handles GPMF containers only
+    if ext not in (".mp4", ".mov", ".360", ".json", ".gyroflow"):
+        return None  # native parser: GPMF/CAMM containers + JSON gyro
     res = lib.tp_load_gyro(
         path.encode(), orient.encode() if orient else None
     )
@@ -205,6 +210,39 @@ def parse_csv(path: str) -> GyroData:
     return GyroData(timestamps=data[:, 0], gyro=data[:, 1:4])
 
 
+def parse_gyroflow_json(path: str) -> GyroData:
+    """GyroFlow JSON gyro data: a top-level sample array, or an object
+    with a `raw_imu` array; each sample `{"ts": <ms>, "gyro":
+    [x, y, z] deg/s, ...}` (GyroFlow's raw_imu convention; extra keys
+    like "accl"/"magn" are ignored). Normalized to seconds / rad/s
+    like every other path (ABI parity, ref lib.rs:50-56). Mirrors
+    native/gpmf/gpmf_parser.cpp::parse_gyroflow_json."""
+    import json
+
+    with open(path, "r") as f:
+        doc = json.load(f)
+    if isinstance(doc, dict):
+        doc = doc.get("raw_imu")
+    if not isinstance(doc, list):
+        raise SyncPanic(f"no raw_imu sample array in {path}")
+    ts, gyro = [], []
+    for item in doc:
+        if not isinstance(item, dict):
+            continue
+        t = item.get("ts")
+        g = item.get("gyro")
+        if t is None or not isinstance(g, (list, tuple)) or len(g) < 3:
+            continue
+        ts.append(float(t) * 1e-3)
+        gyro.append([float(g[0]), float(g[1]), float(g[2])])
+    if not ts:
+        raise SyncPanic(f"no gyro samples in {path}")
+    return GyroData(
+        timestamps=np.asarray(ts, np.float64),
+        gyro=np.deg2rad(np.asarray(gyro, np.float64)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # GoPro GPMF inside MP4
 
@@ -225,11 +263,15 @@ def _iter_boxes(buf, start, end):
         typ = bytes(buf[off + 4 : off + 8])
         hdr = 8
         if size == 1:
+            if off + 16 > end:
+                break
             size = struct.unpack_from(">Q", buf, off + 8)[0]
             hdr = 16
         elif size == 0:
             size = end - off
-        if size < hdr:
+        # bound by the remaining span: a lying 64-bit size must neither
+        # yield an out-of-range payload nor stall the walk
+        if size < hdr or size > end - off:
             break
         yield typ, off + hdr, off + size
         off += size
@@ -251,7 +293,11 @@ def _find_box(buf, start, end, path):
 
 
 def _parse_klv(buf, start, end, out, depth=0):
-    """Recursive GPMF KLV walk collecting per-stream fields."""
+    """Recursive GPMF KLV walk collecting per-stream fields. Depth is
+    capped (real GPMF nests 3-4 deep) so a crafted nesting bomb cannot
+    exhaust the interpreter stack — mirrors the native parser's cap."""
+    if depth > 32:
+        return
     off = start
     while off + 8 <= end:
         key = bytes(buf[off : off + 4])
@@ -349,22 +395,30 @@ def _track_samples(buf, ts_, te_):
     stsz = box(stbl + [b"stsz"])
     sample_size = struct.unpack_from(">I", buf, stsz[0] + 4)[0]
     sample_count = struct.unpack_from(">I", buf, stsz[0] + 8)[0]
+    # Hostile/mutated tables: no table can describe more entries than its
+    # box (or the whole file) has bytes. Clamp every declared count before
+    # any O(count) expansion, or a single flipped high byte turns the walk
+    # into a multi-GB allocation / billions-iteration loop.
     if sample_size == 0:
+        sample_count = min(sample_count, max(0, (stsz[1] - stsz[0] - 12) // 4))
         sizes = np.frombuffer(
             buf, dtype=">u4", count=sample_count, offset=stsz[0] + 12
         ).astype(np.int64)
     else:
+        sample_count = min(sample_count, len(buf))
         sizes = np.full(sample_count, sample_size, np.int64)
 
     co = box(stbl + [b"stco"])
     if co is not None:
         nco = struct.unpack_from(">I", buf, co[0] + 4)[0]
+        nco = min(nco, max(0, (co[1] - co[0] - 8) // 4))
         offsets = np.frombuffer(
             buf, dtype=">u4", count=nco, offset=co[0] + 8
         ).astype(np.int64)
     else:
         co = box(stbl + [b"co64"])
         nco = struct.unpack_from(">I", buf, co[0] + 4)[0]
+        nco = min(nco, max(0, (co[1] - co[0] - 8) // 8))
         offsets = np.frombuffer(
             buf, dtype=">u8", count=nco, offset=co[0] + 8
         ).astype(np.int64)
@@ -372,6 +426,7 @@ def _track_samples(buf, ts_, te_):
     # sample->chunk mapping
     stsc = box(stbl + [b"stsc"])
     nsc = struct.unpack_from(">I", buf, stsc[0] + 4)[0]
+    nsc = min(nsc, max(0, (stsc[1] - stsc[0] - 8) // 12))
     stsc_rows = [
         struct.unpack_from(">III", buf, stsc[0] + 8 + 12 * i) for i in range(nsc)
     ]
@@ -393,10 +448,13 @@ def _track_samples(buf, ts_, te_):
     # sample durations from stts
     stts = box(stbl + [b"stts"])
     nst = struct.unpack_from(">I", buf, stts[0] + 4)[0]
+    nst = min(nst, max(0, (stts[1] - stts[0] - 8) // 8))
     durs = []
     for i in range(nst):
+        if len(durs) >= sample_count:
+            break
         cnt, delta = struct.unpack_from(">II", buf, stts[0] + 8 + 8 * i)
-        durs.extend([delta] * cnt)
+        durs.extend([delta] * min(cnt, sample_count - len(durs)))
     durs = np.asarray(durs[:sample_count], np.float64) / timescale
     starts = np.concatenate([[0.0], np.cumsum(durs)[:-1]])
     return sample_offsets, sizes, starts, durs

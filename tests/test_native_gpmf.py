@@ -110,3 +110,205 @@ def test_native_camm(native_lib, tmp_path, rng):
     np.testing.assert_allclose(gy, py.gyro, atol=0)
     np.testing.assert_allclose(gy, g, atol=1e-6)  # f32 payload
     np.testing.assert_allclose(ts, t, atol=1e-4)
+
+
+def test_native_gyroflow_json(native_lib, tmp_path):
+    import json
+
+    samples = [
+        {"ts": i * 5.0, "gyro": [0.1 * i, -3.5, 2.0], "accl": [0, 0, 9.8]}
+        for i in range(40)
+    ]
+    p1 = tmp_path / "a.json"
+    p1.write_text(json.dumps({"version": 2, "raw_imu": samples}))
+    p2 = tmp_path / "b.json"
+    p2.write_text(json.dumps(samples))
+    for p in (p1, p2):
+        ts, gy = _load_native(native_lib, str(p))
+        py = telemetry.parse_gyroflow_json(str(p))
+        np.testing.assert_allclose(ts, py.timestamps, atol=0)
+        np.testing.assert_allclose(gy, py.gyro, rtol=1e-15)
+        assert ts[1] == 0.005  # ms -> s
+        np.testing.assert_allclose(gy[10, 1], np.deg2rad(-3.5))
+
+
+class TestAdversarial:
+    """Fuzz/adversarial robustness of the native parser: malformed
+    inputs must return cleanly (samples == 0 or a valid subset), never
+    crash, over-read, or hang. A native fault here kills the pytest
+    process — that IS the assertion."""
+
+    def _load(self, lib, path):
+        res = lib.tp_load_gyro(str(path).encode(), None)
+        n = int(res.samples)
+        if n:
+            # touch every output byte: a bogus pointer/size faults here
+            ts = np.ctypeslib.as_array(res.timestamps, shape=(n,)).copy()
+            gy = np.ctypeslib.as_array(res.gyro, shape=(n, 3)).copy()
+            assert ts.shape == (n,) and gy.shape == (n, 3)
+        lib.tp_free(res)
+        return n
+
+    def test_truncations(self, native_lib, tmp_path, rng):
+        g = np.stack([np.sin(np.arange(300) / 10.0)] * 3, axis=1)
+        p = tmp_path / "t.mp4"
+        write_gpmf_mp4(str(p), g, rate_hz=200.0, samples_per_payload=64)
+        data = p.read_bytes()
+        q = tmp_path / "trunc.mp4"
+        cuts = sorted(set(
+            list(range(0, 64)) + [len(data) - k for k in range(1, 40)]
+            + list(rng.integers(0, len(data), 120))
+        ))
+        for cut in cuts:
+            q.write_bytes(data[:cut])
+            self._load(native_lib, q)
+
+    def test_random_mutations(self, native_lib, tmp_path, rng):
+        import signal
+
+        g = np.stack([np.cos(np.arange(400) / 7.0)] * 3, axis=1)
+        p = tmp_path / "m.mp4"
+        write_gpmf_mp4(str(p), g, rate_hz=200.0, samples_per_payload=100)
+        data = bytearray(p.read_bytes())
+        q = tmp_path / "mut.mp4"
+        # watchdog: a parser infinite loop must fail the test, not
+        # hang the suite
+        signal.alarm(120)
+        try:
+            for trial in range(300):
+                mut = bytearray(data)
+                for _ in range(int(rng.integers(1, 9))):
+                    mut[int(rng.integers(0, len(mut)))] = int(
+                        rng.integers(0, 256)
+                    )
+                q.write_bytes(bytes(mut))
+                self._load(native_lib, q)
+        finally:
+            signal.alarm(0)
+
+    def test_lying_box_sizes(self, native_lib, tmp_path):
+        import struct
+
+        def box(fourcc, payload, size=None):
+            s = 8 + len(payload) if size is None else size
+            return struct.pack(">I", s) + fourcc + payload
+
+        cases = [
+            # moov claiming to extend far past EOF
+            box(b"ftyp", b"isom") + box(b"moov", b"\0" * 8, size=1 << 30),
+            # size-0 box (extends to EOF) with garbage
+            box(b"moov", b"", size=0) + b"\0" * 64,
+            # 64-bit size header with a wrapping huge size
+            struct.pack(">I", 1) + b"moov" + struct.pack(">Q", (1 << 64) - 9),
+            # box smaller than its header
+            box(b"moov", b"", size=3),
+            # nested box loop: child size 0 inside parent
+            box(b"moov", box(b"trak", b"", size=0) + b"\0" * 32),
+        ]
+        q = tmp_path / "lies.mp4"
+        for i, payload in enumerate(cases):
+            q.write_bytes(payload)
+            assert self._load(native_lib, q) == 0, f"case {i}"
+
+    def test_huge_co64_offsets(self, native_lib, tmp_path):
+        """co64 offsets near UINT64_MAX must not wrap the bounds check
+        (regression: sample_off + size overflow)."""
+        import struct
+
+        from gpmf_fixture import _box
+
+        mdhd = _box(
+            b"mdhd",
+            struct.pack(">B3x", 0) + struct.pack(">II", 0, 0)
+            + struct.pack(">I", 1000) + struct.pack(">I", 1000)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        stsd_entry = _box(b"gpmd", b"\0" * 6 + struct.pack(">H", 1))
+        stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + stsd_entry)
+        stts = _box(b"stts", struct.pack(">B3xI", 0, 1)
+                    + struct.pack(">II", 2, 500))
+        stsc = _box(b"stsc", struct.pack(">B3xI", 0, 1)
+                    + struct.pack(">III", 1, 1, 1))
+        stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, 2)
+                    + struct.pack(">II", 0xFFFFFFFF, 64))
+        co64 = _box(b"co64", struct.pack(">B3xI", 0, 2)
+                    + struct.pack(">QQ", (1 << 64) - 5, (1 << 63)))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + co64)
+        trak = _box(b"trak", _box(b"mdia", mdhd + _box(b"minf", stbl)))
+        q = tmp_path / "co64.mp4"
+        q.write_bytes(_box(b"moov", trak) + b"\0" * 256)
+        assert self._load(native_lib, q) == 0
+
+    def test_klv_nesting_bomb(self, native_lib, tmp_path):
+        """50k-deep nested KLV must not blow the native stack (depth
+        cap kMaxKlvDepth)."""
+        import struct
+
+        from gpmf_fixture import _box
+
+        depth = 8_000  # dlen is u16: 8 bytes/level caps nesting ~8k
+        inner = b""
+        # build innermost-out: each level is an 8-byte KLV header of
+        # nested type (0) wrapping the previous level
+        for _ in range(depth):
+            inner = b"DEVC" + bytes([0, 1]) + struct.pack(">H", len(inner)) \
+                + inner
+        # wrap in a minimal mp4 with one sample pointing at the bomb
+        mdhd = _box(
+            b"mdhd",
+            struct.pack(">B3x", 0) + struct.pack(">II", 0, 0)
+            + struct.pack(">I", 1000) + struct.pack(">I", 1000)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        stsd_entry = _box(b"gpmd", b"\0" * 6 + struct.pack(">H", 1))
+        stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + stsd_entry)
+        stts = _box(b"stts", struct.pack(">B3xI", 0, 1)
+                    + struct.pack(">II", 1, 500))
+        stsc = _box(b"stsc", struct.pack(">B3xI", 0, 1)
+                    + struct.pack(">III", 1, 1, 1))
+        stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, 1)
+                    + struct.pack(">I", len(inner)))
+        ftyp = _box(b"ftyp", b"isom")
+        mdat = _box(b"mdat", inner)
+        stco = _box(b"stco", struct.pack(">B3xI", 0, 1)
+                    + struct.pack(">I", len(ftyp) + 8))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        trak = _box(b"trak", _box(b"mdia", mdhd + _box(b"minf", stbl)))
+        q = tmp_path / "bomb.mp4"
+        q.write_bytes(ftyp + mdat + _box(b"moov", trak))
+        self._load(native_lib, q)  # must return, not crash
+
+    def test_json_adversarial(self, native_lib, tmp_path):
+        cases = [
+            b"[",  # unterminated array
+            b"{",
+            b'{"raw_imu": [{"ts": 1e309, "gyro": [1,2,3]}]}',  # inf
+            b'{"raw_imu": [{"ts": 5, "gyro": [1,2]}]}',  # short gyro
+            b'{"raw_imu": ' + b"[" * 100_000,  # nesting bomb
+            b'[{"ts": }]',
+            b'[{"gyro": [1,2,3]}]',  # no ts -> no samples
+            b'{"raw_imu": 42}',
+            b'[{"ts": 1, "gyro": [1,2,3], "x": "\\"esc\\\\"}]',
+        ]
+        q = tmp_path / "adv.json"
+        for i, c in enumerate(cases):
+            q.write_bytes(c)
+            self._load(native_lib, q)
+
+    def test_python_parser_never_crashes(self, tmp_path, rng):
+        """The Python MP4 walker on the same mutation corpus: any
+        exception type is fine; hangs/index-errors-at-C-level are not."""
+        g = np.stack([np.cos(np.arange(200) / 7.0)] * 3, axis=1)
+        p = tmp_path / "m.mp4"
+        write_gpmf_mp4(str(p), g, rate_hz=200.0, samples_per_payload=64)
+        data = bytearray(p.read_bytes())
+        q = tmp_path / "mut.mp4"
+        for trial in range(80):
+            mut = bytearray(data)
+            for _ in range(int(rng.integers(1, 9))):
+                mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+            q.write_bytes(bytes(mut))
+            try:
+                telemetry.parse_mp4(str(q))
+            except Exception:
+                pass
