@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Iterator
 
 import numpy as np
@@ -141,7 +141,12 @@ def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
     extraction path on TPU; deeper levels round back to u8). Level 1
     is a 2x2 average (the 5-tap blur at full res costs ~4x the rest of
     the pyramid; a box filter antialiases enough), deeper levels use
-    the 5-tap Gaussian."""
+    the 5-tap Gaussian.
+
+    This is the dense (every-level) builder, kept for API users and
+    tests; the tracker itself uses `build_pyramid_sparse`, which only
+    materializes the levels its schedule consumes (measured 0.54 ->
+    0.03 ms/pair at the 2.7k operating point, experiments/r3_pyr.py)."""
     store = img.dtype
 
     def cast(x):
@@ -154,6 +159,98 @@ def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
         pyr.append(cast(_avgpool2(img.astype(jnp.float32))))
     for _ in range(2, levels):
         pyr.append(cast(_downsample2(pyr[-1].astype(jnp.float32))))
+    return pyr
+
+
+def _pool_mat_np(n: int) -> np.ndarray:
+    """(n//2, n) banded matrix of the 2x2 avgpool step along one axis
+    (level 0 -> 1): rows average input elements 2r, 2r+1."""
+    m = np.zeros((n // 2, n), np.float64)
+    r = np.arange(n // 2)
+    m[r, 2 * r] = 0.5
+    m[r, 2 * r + 1] = 0.5
+    return m
+
+
+def _blurdec_mat_np(n: int) -> np.ndarray:
+    """(ceil(n/2), n) banded matrix of one blur5+decimate step along
+    one axis (levels >= 1): rows are the [1 4 6 4 1]/16 kernel
+    centered at even input positions, edge-clamped — exactly
+    `_downsample2`'s sampling (stride-2 VALID keeps ceil(n/2))."""
+    k = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float64) / 16.0
+    out = (n - 1) // 2 + 1
+    m = np.zeros((out, n), np.float64)
+    for r in range(out):
+        for i in range(5):
+            c = min(max(2 * r + i - 2, 0), n - 1)
+            m[r, c] += k[i]
+    return m
+
+
+@lru_cache(maxsize=None)
+def _down_mat(n: int, src_lvl: int, dst_lvl: int) -> np.ndarray:
+    """Composed banded matrix taking a length-n level-`src_lvl` axis
+    straight to level `dst_lvl` in ONE multiply (product of the
+    per-level step matrices, composed on host in f64)."""
+    m = None
+    size = n
+    for lvl in range(src_lvl, dst_lvl):
+        step = _pool_mat_np(size) if lvl == 0 else _blurdec_mat_np(size)
+        m = step if m is None else step @ m
+        size = step.shape[0]
+    return m.astype(np.float32)
+
+
+def _needed_levels(levels: int, iters: int, radius: int) -> list[int]:
+    """The pyramid levels the tracker schedule actually consumes:
+    the fine-plan levels plus the two coarse-init levels. On the 2.7k
+    8-level operating point this is {0, 2, 5, 7} — half the pyramid
+    (levels 1, 3, 4, 6) is pure intermediate and need never exist."""
+    plan = _fine_plan(levels, iters, radius)
+    need = {lvl for lvl, _it, _m, _r in plan}
+    entry = plan[0][0]
+    if levels > entry + 1:
+        lvl_glob = levels - 1
+        need |= {max(entry + 1, lvl_glob - 2), lvl_glob}
+    return sorted(need)
+
+
+def build_pyramid_sparse(
+    img: jnp.ndarray, levels: int, need: list[int]
+) -> dict[int, jnp.ndarray]:
+    """Needed-levels-only pyramid: each consumed level is computed
+    from the PREVIOUS consumed level by two composed banded-matrix
+    matmuls (rows then columns) on the MXU — bf16 operands (u8 pixels
+    are exact in bf16), f32 accumulation. Skipping the unconsumed
+    intermediates and routing the downsample through the MXU instead
+    of VPU reduce_windows took the pyramid stage from 0.54 to 0.03
+    ms/pair at 2.7k (experiments/r3_pyr.py: `skip1` variant); the
+    composed weights match the dense path's blur5/avgpool sampling
+    exactly up to bf16 rounding of the band coefficients.
+
+    Returns {level: (B, h_l, w_l) array} in the input dtype."""
+    store = img.dtype
+
+    def cast(x):
+        if jnp.issubdtype(store, jnp.integer):
+            return jnp.clip(jnp.round(x), 0, 255).astype(store)
+        return x.astype(store)
+
+    pyr: dict[int, jnp.ndarray] = {}
+    prev_lvl, prev = 0, img
+    for lvl in sorted(set(need)):
+        if lvl == prev_lvl:
+            pyr[lvl] = prev
+        else:
+            h, w = prev.shape[-2], prev.shape[-1]
+            R = jnp.asarray(_down_mat(h, prev_lvl, lvl), jnp.bfloat16)
+            C = jnp.asarray(_down_mat(w, prev_lvl, lvl), jnp.bfloat16)
+            x = jnp.einsum(
+                "rh,bhw,wc->brc", R, prev.astype(jnp.bfloat16), C.T,
+                preferred_element_type=jnp.float32,
+            )
+            pyr[lvl] = cast(x)
+        prev_lvl, prev = lvl, pyr[lvl]
     return pyr
 
 
@@ -493,10 +590,11 @@ def _fine_plan(
     return [(0, min(iters, 8), MARGIN_ENTRY, radius)]
 
 
-def _lk_core(pyr_pairs: list[tuple[jnp.ndarray, jnp.ndarray]],
+def _lk_core(pyr_pairs: dict[int, tuple[jnp.ndarray, jnp.ndarray]],
              pts: jnp.ndarray, levels: int, radius: int,
              iters: int) -> jnp.ndarray:
-    """Shared tracker body over per-level (img_a, img_b) batches."""
+    """Shared tracker body over per-level (img_a, img_b) batches
+    (keyed by level; only the levels in `_needed_levels` exist)."""
     B = pyr_pairs[0][0].shape[0]
     plan = _fine_plan(levels, iters, radius)
     entry = plan[0][0]
@@ -529,19 +627,26 @@ def _lk_pairs_core(imgs_a: jnp.ndarray, imgs_b: jnp.ndarray,
                    iters: int) -> jnp.ndarray:
     """Track pts from imgs_a[i] to imgs_b[i]: (B, H, W) x2 + (N, 2)
     -> (B, N, 2) tracked positions."""
-    pyr_a = [_pad_lanes(l) for l in build_pyramid(imgs_a, levels)]
-    pyr_b = [_pad_lanes(l) for l in build_pyramid(imgs_b, levels)]
-    return _lk_core(list(zip(pyr_a, pyr_b)), pts, levels, radius, iters)
+    need = _needed_levels(levels, iters, radius)
+    pyr_a = build_pyramid_sparse(imgs_a, levels, need)
+    pyr_b = build_pyramid_sparse(imgs_b, levels, need)
+    pairs = {
+        l: (_pad_lanes(pyr_a[l]), _pad_lanes(pyr_b[l])) for l in need
+    }
+    return _lk_core(pairs, pts, levels, radius, iters)
 
 
 def _lk_video_core(frames: jnp.ndarray, pts: jnp.ndarray, levels: int,
                    radius: int, iters: int) -> jnp.ndarray:
     """Track consecutive pairs of a frame block with ONE shared
     pyramid per frame (each interior frame serves two pairs)."""
-    pyr = [_pad_lanes(l) for l in build_pyramid(frames, levels)]
-    return _lk_core(
-        [(l[:-1], l[1:]) for l in pyr], pts, levels, radius, iters
-    )
+    need = _needed_levels(levels, iters, radius)
+    pyr = build_pyramid_sparse(frames, levels, need)
+    pairs = {}
+    for l in need:
+        padded = _pad_lanes(pyr[l])
+        pairs[l] = (padded[:-1], padded[1:])
+    return _lk_core(pairs, pts, levels, radius, iters)
 
 
 # ---------------------------------------------------------------------------
