@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from rssync_tpu.core.problem import SplineTable, TrackWindow, compute_problem
-from rssync_tpu.core.ransac import guess_motion
+from rssync_tpu.core.ransac import guess_motion, guess_motion_window
 from rssync_tpu.ops.robust import clamp_k
 
 #: RANSAC hypothesis count inside the coarse cost (ref :77).
@@ -58,13 +58,10 @@ def window_cost(
     """Approximate sync cost of one window at one delay
     (ref core_private.cpp:73-86): per-frame 20-hypothesis RANSAC
     motion, then the robust cost above."""
-    F = win.num_frames
     P = compute_problem(table, win, delay, bands)  # (3, F, N)
-    keys = jax.random.split(key, F)
-    M = jax.vmap(
-        lambda p, c, k: guess_motion(p, c, k, PRESYNC_RANSAC_ITERS),
-        in_axes=(1, 0, 0),
-    )(P, win.counts, keys)  # (F, 3)
+    M = guess_motion_window(
+        P, win.counts, key, PRESYNC_RANSAC_ITERS
+    )  # (F, 3)
     return cost_with_motion(P, M, win.frame_mask)
 
 

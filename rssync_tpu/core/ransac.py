@@ -112,3 +112,61 @@ def guess_motion(
     200 in Sync's GuessMotion)."""
     r0, r1 = sample_pairs(key, iters, count)
     return guess_motion_from_pairs(P, count, r0, r1)
+
+
+def guess_motion_window(
+    P: jnp.ndarray, counts, key: jax.Array, iters: int,
+    impl: str | None = None,
+) -> jnp.ndarray:
+    """Whole-window guesser: every frame's RANSAC in one batched
+    computation. P: (3, F, N) SoA; counts: (F,). Returns (F, 3).
+
+    Pair draws are identical to `vmap(guess_motion)` over the same
+    per-frame key split. Hypothesis rows are selected with exact
+    one-hot matmuls (0/1 weights — bitwise equal to fancy indexing).
+    Scoring dispatches to the VMEM-resident Pallas bisection on TPU
+    (ops/pallas_score.py — the XLA formulation re-reads the residual
+    volume from HBM 14x and dominates PreSync); elsewhere it keeps
+    the original XLA bisect numerics exactly.
+    """
+    from rssync_tpu.ops import pallas_score as PSC
+
+    F, N = P.shape[1], P.shape[2]
+    keys = jax.random.split(key, F)
+    r0, r1 = jax.vmap(lambda k, c: sample_pairs(k, iters, c))(
+        keys, counts
+    )  # (F, iters) each
+
+    Pn2 = jnp.sum(P * P, axis=0)  # (F, N)
+    inv = jnp.where(Pn2 < 1e-24, 1.0, jax.lax.rsqrt(jnp.maximum(Pn2, 1e-30)))
+    nP = P * inv[None]
+
+    def onehot(r):
+        return (jnp.arange(N)[None, None, :] == r[..., None]).astype(P.dtype)
+
+    A = jnp.einsum(
+        "cfn,fin->cfi", P, onehot(r0),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    Bm = jnp.einsum(
+        "cfn,fin->cfi", P, onehot(r1),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    v = cross_soa(A, Bm)  # (3, F, iters)
+    vn2 = jnp.sum(v * v, axis=0)
+    vinv = jnp.where(vn2 < 1e-24, 1.0, jax.lax.rsqrt(jnp.maximum(vn2, 1e-30)))
+    v = v * vinv[None]
+
+    if impl is None:
+        impl = "pallas" if PSC.on_tpu() else "xla"
+    if impl == "pallas":
+        med = PSC.score_quartile_pallas(nP, v, counts)
+    else:
+        med = PSC.score_quartile_xla(nP, v, counts)  # (F, iters)
+
+    best = jnp.argmin(med, axis=-1)  # (F,)
+    sel = (jnp.arange(iters)[None, :] == best[:, None]).astype(P.dtype)
+    vb = jnp.einsum("cfi,fi->fc", v, sel)  # exact one-hot select
+    tiny = jnp.sum(vb * vb, axis=-1) < 1e-12
+    fallback = jnp.asarray([0.0, 0.0, 1.0], vb.dtype)
+    return jnp.where(tiny[:, None], fallback[None], vb)

@@ -595,9 +595,9 @@ def _lk_core(pyr_pairs: dict[int, tuple[jnp.ndarray, jnp.ndarray]],
              iters: int) -> jnp.ndarray:
     """Shared tracker body over per-level (img_a, img_b) batches
     (keyed by level; only the levels in `_needed_levels` exist)."""
-    B = pyr_pairs[0][0].shape[0]
     plan = _fine_plan(levels, iters, radius)
     entry = plan[0][0]
+    B = pyr_pairs[entry][0].shape[0]
 
     if levels > entry + 1:
         lvl_glob = levels - 1

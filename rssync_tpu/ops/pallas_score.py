@@ -1,0 +1,137 @@
+"""Pallas TPU kernel: RANSAC hypothesis scoring (quartile-of-squared-
+residuals) with the residual volume resident in VMEM.
+
+Motivation (measured, round 3): the XLA formulation of
+`guess_motion_from_pairs`'s value bisection re-reads the
+(delays x windows x frames x hypotheses x features) squared-residual
+volume from HBM on every one of its 14 rounds — ~1.4 GB bf16 per
+8-delay PreSync chunk, ~20 GB of traffic per chunk, ~500 GB per
+PreSync call; the stage is bound on exactly this. This kernel
+computes the residuals for one window's frames and runs all 14
+rounds against a VMEM-resident buffer, so the volume never exists in
+HBM at all.
+
+Numerics match the XLA path deliberately: the compare buffer is
+bf16, 14 bisection rounds, `hi` returned as the quantile bracket
+(see core/ransac.py for why bf16 + 14 rounds are sufficient). The
+only deviation is residual accumulation order (three explicit FMAs
+vs a length-3 dot contraction) — differences are absorbed by the
+bf16 cast in practice and only matter for exactly-tied hypotheses.
+
+Scoring replaces the reference's per-hypothesis sort + n/4 selection
+(ref: src/core/core_private.cpp:34-59).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: bisection rounds (matches core/ransac.py)
+BISECT_ROUNDS = 14
+
+
+def _score_kernel(nP_ref, v_ref, cnt_ref, med_ref):
+    nP = nP_ref[...]          # (3, F, N) f32, padded features zero
+    v = v_ref[...]            # (3, F, I) f32 unit hypotheses
+    cnt = cnt_ref[...]        # (F, 1) int32 valid-feature counts
+    F = nP.shape[1]
+    N = nP.shape[2]
+
+    res = (
+        v[0][:, :, None] * nP[0][:, None, :]
+        + v[1][:, :, None] * nP[1][:, None, :]
+        + v[2][:, :, None] * nP[2][:, None, :]
+    )  # (F, I, N)
+    res2 = res * res
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (F, 1, N), 2)
+    valid = iota_n < cnt[:, :, None]  # (F, 1, N)
+    k = jnp.maximum(cnt, 1) // 4      # (F, 1)
+
+    # the XLA path compares in bf16; the VPU here has no bf16 compare
+    # (Mosaic: "Target does not support this comparison"), so quantize
+    # both sides to the bf16 grid and compare in f32 — bf16 -> f32 is
+    # exact, hence the predicate is identical bit for bit
+    res2m = jnp.where(valid, res2, jnp.inf).astype(
+        jnp.bfloat16).astype(jnp.float32)
+    lo = jnp.zeros(res2.shape[:2], jnp.float32)          # (F, I)
+    hi = jnp.max(jnp.where(valid, res2, 0.0), axis=-1)   # (F, I)
+
+    def bisect(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        midq = mid[..., None].astype(jnp.bfloat16).astype(jnp.float32)
+        c = jnp.sum((res2m <= midq).astype(jnp.float32), axis=-1)
+        ge = c >= (k + 1).astype(jnp.float32)
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, BISECT_ROUNDS, bisect, (lo, hi))
+    med_ref[...] = hi
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def score_quartile_pallas(
+    nP: jnp.ndarray, v: jnp.ndarray, counts: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Quartile bracket of squared residuals per hypothesis.
+
+    nP: (3, F, N) row-normalized residual rows; v: (3, F, I) unit
+    hypothesis directions; counts: (F,) int32. Returns (F, I) f32.
+    vmap-able (leading batch axes become Pallas grid dimensions).
+    """
+    F = nP.shape[1]
+    Iq = v.shape[2]
+    cnt = counts.astype(jnp.int32).reshape(F, 1)
+    return pl.pallas_call(
+        _score_kernel,
+        out_shape=jax.ShapeDtypeStruct((F, Iq), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(nP, v, cnt)
+
+
+def score_quartile_xla(
+    nP: jnp.ndarray, v: jnp.ndarray, counts: jnp.ndarray
+) -> jnp.ndarray:
+    """XLA reference/fallback with the exact numerics of the original
+    per-frame formulation (einsum residuals + bf16 bisection)."""
+    N = nP.shape[-1]
+
+    def one_frame(nP_f, v_f, count):
+        res = jnp.einsum("ci,cn->in", v_f, nP_f)  # (I, N)
+        res2 = res * res
+        valid = (jnp.arange(N) < count)[None, :]
+        k = jnp.maximum(count, 1) // 4
+        res2m = jnp.where(valid, res2, jnp.inf).astype(jnp.bfloat16)
+        lo = jnp.zeros((res2.shape[0],), res2.dtype)
+        hi = jnp.max(jnp.where(valid, res2, 0.0), axis=-1)
+
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum(res2m <= mid[:, None].astype(jnp.bfloat16), axis=-1)
+            ge = cnt >= k + 1
+            return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, BISECT_ROUNDS, bisect, (lo, hi))
+        return hi
+
+    return jax.vmap(one_frame, in_axes=(1, 1, 0))(nP, v, counts)
+
+
+def on_tpu() -> bool:
+    try:
+        return "TPU" in jax.devices()[0].device_kind.upper()
+    except Exception:
+        return False

@@ -1,0 +1,80 @@
+"""Parity tests for the Pallas RANSAC-scoring kernel (interpreter
+mode on CPU) against the XLA bisection it replaces on TPU, and for
+the whole-window guesser against the original per-frame vmap path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rssync_tpu.core.ransac import (
+    guess_motion,
+    guess_motion_window,
+    sample_pairs,
+)
+from rssync_tpu.ops.pallas_score import (
+    score_quartile_pallas,
+    score_quartile_xla,
+)
+
+def _problem(rng, F=7, N=40, I=20):
+    P = rng.normal(size=(3, F, N)).astype(np.float32) * 0.1
+    counts = rng.integers(5, N + 1, size=(F,)).astype(np.int32)
+    for f in range(F):
+        P[:, f, counts[f]:] = 0.0
+    Pn2 = np.sum(P * P, axis=0)
+    inv = np.where(Pn2 < 1e-24, 1.0, 1.0 / np.sqrt(np.maximum(Pn2, 1e-30)))
+    nP = (P * inv[None]).astype(np.float32)
+    v = rng.normal(size=(3, F, I)).astype(np.float32)
+    v /= np.maximum(np.linalg.norm(v, axis=0, keepdims=True), 1e-12)
+    return jnp.asarray(P), jnp.asarray(nP), jnp.asarray(v), jnp.asarray(counts)
+
+
+def test_kernel_matches_xla_scoring(rng):
+    _, nP, v, counts = _problem(rng)
+    a = np.asarray(score_quartile_pallas(nP, v, counts, interpret=True))
+    b = np.asarray(score_quartile_xla(nP, v, counts))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=0)
+
+
+def test_kernel_matches_vmapped(rng):
+    """Leading batch axes become grid dimensions."""
+    B = 3
+    packs = [_problem(rng) for _ in range(B)]
+    nP = jnp.stack([p[1] for p in packs])
+    v = jnp.stack([p[2] for p in packs])
+    counts = jnp.stack([p[3] for p in packs])
+    a = np.asarray(
+        jax.vmap(lambda n, vv, c: score_quartile_pallas(
+            n, vv, c, interpret=True))(nP, v, counts)
+    )
+    b = np.asarray(
+        jax.vmap(score_quartile_xla)(nP, v, counts)
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=0)
+
+
+def test_window_guesser_matches_per_frame(rng):
+    """guess_motion_window == vmap(guess_motion) for the same key
+    split (the PreSync refactor must not change selected motions)."""
+    P, _, _, counts = _problem(rng, F=9, N=33)
+    key = jax.random.PRNGKey(7)
+    F = P.shape[1]
+    keys = jax.random.split(key, F)
+    ref = jax.vmap(
+        lambda p, c, k: guess_motion(p, c, k, 20), in_axes=(1, 0, 0)
+    )(P, counts, keys)
+    got = guess_motion_window(P, counts, key, 20, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_window_guesser_pair_draws_match(rng):
+    """The refactor keeps the exact per-frame pair draws."""
+    key = jax.random.PRNGKey(3)
+    counts = jnp.asarray([5, 9, 40], jnp.int32)
+    keys = jax.random.split(key, 3)
+    r0_ref, r1_ref = jax.vmap(
+        lambda k, c: sample_pairs(k, 20, c))(keys, counts)
+    r0, r1 = jax.vmap(lambda k, c: sample_pairs(k, 20, c))(keys, counts)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r0_ref))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r1_ref))
