@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from rssync_tpu.core.problem import SplineTable, TrackWindow, compute_problem
-from rssync_tpu.core.ransac import guess_motion, guess_motion_window
+from rssync_tpu.core.ransac import guess_motion_window
 from rssync_tpu.ops.robust import clamp_k
 
 #: RANSAC hypothesis count inside the coarse cost (ref :77).

@@ -341,31 +341,79 @@ def _extract_patches(imgs: jnp.ndarray, pts: jnp.ndarray, size: int,
     )
 
 
+def _extract_patches_static(imgs: jnp.ndarray, origins: np.ndarray,
+                            size: int) -> jnp.ndarray:
+    """(B, N, size, size) f32 patches at compile-time-constant INTEGER
+    origins — pure static slices, no gather and no interpolation
+    matmuls. The tracker's template origins are grid points minus an
+    integer offset, so on the fixed-grid path this replaces
+    `_extract_patches` exactly (integer origins make its bilinear taps
+    one-hot). Origins must be interior (true for the reference grid:
+    step >= 40 > radius + 1). Grouped by row so each distinct grid y
+    slices one (B, size, W) strip."""
+    H, W = imgs.shape[-2], imgs.shape[-1]
+    xs = origins[:, 0].astype(int)
+    ys = origins[:, 1].astype(int)
+    out: list = [None] * len(xs)
+    for y in np.unique(ys):
+        y0, y1 = max(0, y), min(H, y + size)
+        strip = imgs[:, y0:y1, :]
+        if (y0 - y) or (y + size - y1):  # edge-replicate, like the
+            strip = jnp.pad(             # dynamic path's row clamp
+                strip, ((0, 0), (y0 - y, y + size - y1), (0, 0)),
+                mode="edge",
+            )
+        for i in np.nonzero(ys == y)[0]:
+            x = xs[i]
+            x0, x1 = max(0, x), min(W, x + size)
+            p = strip[:, :, x0:x1]
+            if (x0 - x) or (x + size - x1):
+                p = jnp.pad(
+                    p, ((0, 0), (0, 0), (x0 - x, x + size - x1)),
+                    mode="edge",
+                )
+            out[i] = p
+    return jnp.stack(out, axis=1).astype(jnp.float32)
+
+
 def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
               margin: int, precision=None):
     """One pyramid level of iterative LK for all (pair, point).
 
     img_a/img_b: (B, H, Wp) lane-padded level images. pts_level:
-    (N, 2) or (B, N, 2) point positions at this level's scale. guess:
-    (B, N, 2) incoming displacement. Returns (B, N, 2).
+    (N, 2) or (B, N, 2) point positions at this level's scale — a
+    host np.ndarray of integers takes the static-template fast path.
+    guess: (B, N, 2) incoming displacement. Returns (B, N, 2).
 
-    Structure: template patch + gradients once (gathered, bilinear);
-    ONE row-block gather of each point's search region from img_b;
-    then `iters` Gauss-Newton steps where the shifted fractional
-    window is two interpolation matmuls against the resident region
-    (never touching HBM again)."""
+    Structure: template patch + gradients once (static slices on the
+    fixed-grid path, gathered bilinear otherwise); ONE row-block
+    gather of each point's search region from img_b; then `iters`
+    Gauss-Newton steps where the shifted fractional window is two
+    interpolation matmuls against the resident region (never touching
+    HBM again)."""
     w = 2 * radius + 1
     B = img_a.shape[0]
+    static_grid = (
+        isinstance(pts_level, np.ndarray)
+        and pts_level.ndim == 2
+        and np.all(pts_level == np.round(pts_level))
+    )
+    if static_grid:
+        patch_a = _extract_patches_static(
+            img_a, pts_level - (radius + 1), w + 2
+        )  # (B, N, w+2, w+2)
+        pts_level = jnp.asarray(pts_level, jnp.float32)
     if pts_level.ndim == 2:
         pts_level = jnp.broadcast_to(
             pts_level[None], (B, *pts_level.shape)
         )
 
-    # template patch (w+2)^2 for central-difference gradients
-    patch_a = _extract_patches(
-        img_a, pts_level - (radius + 1), w + 2,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if not static_grid:
+        # template patch (w+2)^2 for central-difference gradients
+        patch_a = _extract_patches(
+            img_a, pts_level - (radius + 1), w + 2,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     ix = 0.5 * (patch_a[..., 1:-1, 2:] - patch_a[..., 1:-1, :-2])
     iy = 0.5 * (patch_a[..., 2:, 1:-1] - patch_a[..., :-2, 1:-1])
     t = patch_a[..., 1:-1, 1:-1]
@@ -519,21 +567,24 @@ def _coarse_init(pyr: list[jnp.ndarray], lvl_vol: int, lvl_glob: int,
     )  # (B, h, w, 2) @ lvl_vol px
     flow = flow + gi[:, None, None, :].astype(jnp.float32)
 
-    # bilinear-sample the flow at the grid points via one matmul
+    # bilinear-sample the flow at the grid points via one matmul; with
+    # a host (static) grid the sampling matrix is a compile-time
+    # constant — zero device ops to build it
     scale = float(2**lvl_vol)
+    xp = np if isinstance(pts, np.ndarray) else jnp
     p = pts / scale
-    px = jnp.clip(p[:, 0], 0.0, w - 1.001)
-    py = jnp.clip(p[:, 1], 0.0, h - 1.001)
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
+    px = xp.clip(p[:, 0], 0.0, w - 1.001)
+    py = xp.clip(p[:, 1], 0.0, h - 1.001)
+    x0 = xp.floor(px)
+    y0 = xp.floor(py)
     fx = (px - x0)[:, None]
     fy = (py - y0)[:, None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    q = jnp.arange(h * w, dtype=jnp.int32)[None, :]
+    x0i = x0.astype(xp.int32)
+    y0i = y0.astype(xp.int32)
+    q = xp.arange(h * w, dtype=xp.int32)[None, :]
 
     def oh(yi, xi):
-        return (q == (yi * w + xi)[:, None]).astype(jnp.float32)
+        return (q == (yi * w + xi)[:, None]).astype(xp.float32)
 
     Wmat = (
         oh(y0i, x0i) * (1 - fx) * (1 - fy)
@@ -541,6 +592,7 @@ def _coarse_init(pyr: list[jnp.ndarray], lvl_vol: int, lvl_glob: int,
         + oh(y0i + 1, x0i) * (1 - fx) * fy
         + oh(y0i + 1, x0i + 1) * fx * fy
     )  # (N, h*w)
+    Wmat = jnp.asarray(Wmat, jnp.float32)
     flat = flow.reshape(B, h * w, 2)
     sampled = jnp.einsum(
         "nq,bqc->bnc", Wmat, flat,
@@ -707,17 +759,23 @@ def lk_track_video(
         levels = auto_levels(frames.shape[1], frames.shape[2])
     if pts is None:
         step = grid_step or auto_grid_step(frames.shape[2])
-        pts = jnp.asarray(
-            grid_points(frames.shape[2], frames.shape[1], step), jnp.float32
-        )
-    return _lk_track_video_jit(frames, pts, levels, radius, iters)
-
-
-@partial(jax.jit, static_argnames=("levels", "radius", "iters"))
-def _lk_track_video_jit(frames, pts, levels, radius, iters):
-    return _lk_video_core(
-        frames, jnp.asarray(pts, jnp.float32), levels, radius, iters
+        pts = grid_points(frames.shape[2], frames.shape[1], step)
+    return _lk_track_video_jit(
+        frames, _static_pts(pts), levels, radius, iters
     )
+
+
+def _static_pts(pts) -> tuple:
+    """Hashable form of the (host) point grid so jits can specialize
+    on it: integer static grids unlock the static-template and
+    constant-sampling-matrix paths (no device gathers for templates)."""
+    return tuple(map(tuple, np.asarray(pts, np.float32).tolist()))
+
+
+@partial(jax.jit, static_argnames=("pts_static", "levels", "radius", "iters"))
+def _lk_track_video_jit(frames, pts_static, levels, radius, iters):
+    pts = np.asarray(pts_static, np.float32)
+    return _lk_video_core(frames, pts, levels, radius, iters)
 
 
 def lk_track_video_chunked(
@@ -741,18 +799,20 @@ def lk_track_video_chunked(
         raise ValueError(f"(T-1)={T - 1} must be a multiple of chunk={chunk}")
     if pts is None:
         step = grid_step or auto_grid_step(frames.shape[2])
-        pts = jnp.asarray(
-            grid_points(frames.shape[2], frames.shape[1], step), jnp.float32
-        )
-    return _lk_track_video_chunked_jit(frames, pts, chunk, levels, radius, iters)
+        pts = grid_points(frames.shape[2], frames.shape[1], step)
+    return _lk_track_video_chunked_jit(
+        frames, _static_pts(pts), chunk, levels, radius, iters
+    )
 
 
-@partial(jax.jit, static_argnames=("chunk", "levels", "radius", "iters"))
-def _lk_track_video_chunked_jit(frames, pts, chunk, levels, radius, iters):
+@partial(jax.jit, static_argnames=(
+    "pts_static", "chunk", "levels", "radius", "iters"))
+def _lk_track_video_chunked_jit(frames, pts_static, chunk, levels, radius,
+                                iters):
     T, H, W = frames.shape
     n_chunks = (T - 1) // chunk
     starts = jnp.arange(n_chunks) * chunk
-    pts = jnp.asarray(pts, jnp.float32)
+    pts = np.asarray(pts_static, np.float32)
 
     def one(start):
         blk = jax.lax.dynamic_slice(frames, (start, 0, 0), (chunk + 1, H, W))

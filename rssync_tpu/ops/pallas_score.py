@@ -34,6 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 #: bisection rounds (matches core/ransac.py)
 BISECT_ROUNDS = 14
 
+#: frames per program — bounds the VMEM-resident residual tile
+#: (F_TILE x I x N f32 twice); Sync's 200-hypothesis GuessMotion at
+#: F=60, N=256 would need 23 MB un-tiled (> 16 MB VMEM). Frames (not
+#: hypotheses) are the tiled axis because Mosaic requires block LAST
+#: dims to be full or 128-divisible, and F sits second-minor
+#: everywhere.
+F_TILE = 16
+
 
 def _score_kernel(nP_ref, v_ref, cnt_ref, med_ref):
     nP = nP_ref[...]          # (3, F, N) f32, padded features zero
@@ -85,18 +93,24 @@ def score_quartile_pallas(
     hypothesis directions; counts: (F,) int32. Returns (F, I) f32.
     vmap-able (leading batch axes become Pallas grid dimensions).
     """
-    F = nP.shape[1]
+    F, N = nP.shape[1], nP.shape[2]
     Iq = v.shape[2]
+    ft = min(F, F_TILE)
     cnt = counts.astype(jnp.int32).reshape(F, 1)
     return pl.pallas_call(
         _score_kernel,
         out_shape=jax.ShapeDtypeStruct((F, Iq), jnp.float32),
+        grid=(pl.cdiv(F, ft),),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ft, N), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ft, Iq), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((ft, Iq), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(nP, v, cnt)
 

@@ -36,6 +36,15 @@ def test_kernel_matches_xla_scoring(rng):
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=0)
 
 
+def test_kernel_matches_xla_scoring_tiled(rng):
+    """F > F_TILE (with a partial trailing tile) x 200 hypotheses
+    exercises the frame-axis grid (Sync's GuessMotion path)."""
+    _, nP, v, counts = _problem(rng, F=37, N=24, I=200)
+    a = np.asarray(score_quartile_pallas(nP, v, counts, interpret=True))
+    b = np.asarray(score_quartile_xla(nP, v, counts))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=0)
+
+
 def test_kernel_matches_vmapped(rng):
     """Leading batch axes become grid dimensions."""
     B = 3

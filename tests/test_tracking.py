@@ -128,3 +128,26 @@ def test_lift_rays_unit_and_match_lens(rng):
     np.testing.assert_allclose(np.linalg.norm(ra, axis=1), 1.0, atol=1e-6)
     und = np.asarray(lens_ops.undistort_points(lens, pts))
     np.testing.assert_allclose(ra[:, 0] / ra[:, 2], und[:, 0], atol=1e-5)
+
+
+def test_static_template_extraction_matches_dynamic(rng):
+    """_extract_patches_static == _extract_patches at integer origins,
+    including origins whose patch runs off the bottom edge (the
+    level-2 bottom grid row at 2.7k does)."""
+    from rssync_tpu.frontend.tracking import (
+        _extract_patches,
+        _extract_patches_static,
+        _pad_lanes,
+    )
+
+    H, W, size = 120, 256, 15
+    imgs = _pad_lanes(jnp.asarray(
+        rng.integers(0, 255, (2, H, W)), jnp.uint8))
+    origins = np.asarray(
+        [[3, 0], [40, 57], [200, 110], [200, 112], [10, 105]], np.float64
+    )  # last three run off the bottom (110+15, 112+15, 105+15 > 120)
+    a = np.asarray(_extract_patches_static(imgs, origins, size))
+    o = jnp.broadcast_to(
+        jnp.asarray(origins, jnp.float32)[None], (2, len(origins), 2))
+    b = np.asarray(_extract_patches(imgs, o, size))
+    np.testing.assert_allclose(a, b, atol=1e-4)
