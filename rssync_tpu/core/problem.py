@@ -28,6 +28,7 @@ Two load-bearing layout decisions:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -63,10 +64,14 @@ class SplineTable:
         return self.coeffs.shape[-1]
 
 
-#: knot-band width for the per-frame spline slice (see compute_problem):
-#: covers rolling-shutter spans up to BAND-4 knots, i.e. readout_time *
-#: gyro_rate <= 12 (a GoPro at 200 Hz uses ~2.2).
+#: maximum knot-band width for the per-frame spline slice (see
+#: compute_problem): covers rolling-shutter spans up to BAND-4 knots,
+#: i.e. readout_time * gyro_rate <= 12 (a GoPro at 200 Hz uses ~2.2).
+#: Each window carries its own (static) band width — BAND_FAST when
+#: its spans fit, which HALVES the dominant select cost of the banded
+#: eval (measured: Sync(4x) 347 -> 227 ms, identical results)
 BAND = 16
+BAND_FAST = 8
 
 #: wide-band machinery (see make_wide_bands): per-frame WIDE-knot slabs
 #: extracted ONCE per engine call; each delay then takes a single
@@ -74,7 +79,14 @@ BAND = 16
 #: |delay - center| * sample_rate <= WIDE_SMAX.
 WIDE = 128
 WIDE_PAD = 128  # edge-replicated columns padded onto each table end
-WIDE_SMAX = (WIDE - BAND - 6) // 2  # 53 knots of delay swing
+WIDE_SMAX = (WIDE - BAND - 6) // 2  # 53 knots of delay swing (band=16)
+
+
+def wide_smax(band: int) -> int:
+    """Delay swing (knots) the wide slabs cover for a given banded
+    width. `WIDE_SMAX` is the band=16 (most conservative) value —
+    callers checking feasibility before windows exist use that."""
+    return (WIDE - band - 6) // 2
 
 
 @jax.tree_util.register_dataclass
@@ -103,6 +115,11 @@ class TrackWindow:
     feat_mask: jnp.ndarray
     frame_mask: jnp.ndarray
     counts: jnp.ndarray
+    #: static (compile-time) banded-eval width: BAND_FAST when every
+    #: frame's rolling-shutter knot span fits, else BAND
+    band: int = dataclasses.field(
+        default=BAND, metadata=dict(static=True)
+    )
 
     @property
     def num_frames(self) -> int:
@@ -205,6 +222,7 @@ def build_track_window(
     base_a = np.zeros((Fp,), dtype=np.int32)
     base_b = np.zeros((Fp,), dtype=np.int32)
 
+    span_max = 0
     for f in range(F):
         n = len(frames_ts_a[f])
         if n == 0:
@@ -230,6 +248,7 @@ def build_track_window(
                     f"{name} exceeds the banded-eval width {BAND}; "
                     "readout_time * gyro_rate is unusually large"
                 )
+            span_max = max(span_max, int(span))
         rays_a[:, f, :n] = np.asarray(frames_rays_a[f], np.float64).T
         rays_b[:, f, :n] = np.asarray(frames_rays_b[f], np.float64).T
         feat_mask[f, :n] = 1.0
@@ -248,6 +267,7 @@ def build_track_window(
         feat_mask=jnp.asarray(feat_mask, dtype),
         frame_mask=jnp.asarray(frame_mask, dtype),
         counts=jnp.asarray(counts),
+        band=BAND_FAST if span_max + 4 <= BAND_FAST else BAND,
     )
 
 
@@ -318,9 +338,10 @@ def make_wide_bands(table: SplineTable, win: TrackWindow, center_delay) -> WideB
     frame-independence of the offset).
     """
     cf = jnp.floor(center_delay * table.sample_rate).astype(jnp.int32)
+    smax = wide_smax(win.band)
 
     def side(base):
-        start_p = base + WIDE_PAD - 1 - WIDE_SMAX + cf  # padded coords
+        start_p = base + WIDE_PAD - 1 - smax + cf  # padded coords
         band = jax.vmap(
             lambda s: jax.lax.dynamic_slice(
                 table.coeffs_padded, (0, s), (16, WIDE)
@@ -335,18 +356,20 @@ def make_wide_bands(table: SplineTable, win: TrackWindow, center_delay) -> WideB
 
 def _select_and_horner(sub, sub_start, xi, h_in, n):
     """Shared banded-eval core: per-ray coefficient select from a
-    (F, 16, BAND) slab + Horner + boundary branches.
+    (F, 16, band) slab + Horner + boundary branches.
 
     Per-element gathers run ~100M elem/s on TPU, so each ray selects
-    its 16 coefficients with fused VPU compares (BAND x 16 FMAs, no
-    memory traffic). Boundary semantics identical to
+    its 16 coefficients with fused VPU compares (band x 16 FMAs, no
+    memory traffic — the window's static `band` width sets this
+    dominant cost). Boundary semantics identical to
     ops.spline.eval_spline_packed."""
+    band = sub.shape[-1]
     idx = jnp.clip(xi, 0, n - 1)
-    rel = jnp.clip(idx - sub_start[..., None], 0, BAND - 1)  # (F, N)
+    rel = jnp.clip(idx - sub_start[..., None], 0, band - 1)  # (F, N)
     coefs = []
     for c in range(16):
         acc = jnp.zeros_like(h_in)
-        for j in range(BAND):
+        for j in range(band):
             acc = acc + jnp.where(rel == j, sub[:, c, j][..., None], 0.0)
         coefs.append(acc)
     yk = jnp.stack(coefs[0:4])
@@ -369,10 +392,10 @@ def _select_and_horner(sub, sub_start, xi, h_in, n):
 
 def _banded_quats(
     coeffs: jnp.ndarray, i0: jnp.ndarray, f0: jnp.ndarray,
-    base: jnp.ndarray, shift,
+    base: jnp.ndarray, shift, band_w: int,
 ) -> jnp.ndarray:
     """Narrow banded eval (fallback when no WideBands are available,
-    e.g. unbounded delay search): one BAND-knot dynamic_slice per
+    e.g. unbounded delay search): one band_w-knot dynamic_slice per
     frame per call. coeffs: (16, n); i0/f0: (F, N); base: (F,)
     per-frame min i0; shift: scalar delay * sample_rate.
     Returns (4, F, N) quat rows."""
@@ -383,16 +406,16 @@ def _banded_quats(
     h_in = p - pf
 
     sfloor = jnp.floor(shift).astype(jnp.int32)
-    band_start = jnp.clip(base + sfloor - 1, 0, n - BAND)  # (F,)
+    band_start = jnp.clip(base + sfloor - 1, 0, n - band_w)  # (F,)
     band = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(coeffs, (0, s), (16, BAND))
-    )(band_start)  # (F, 16, BAND)
+        lambda s: jax.lax.dynamic_slice(coeffs, (0, s), (16, band_w))
+    )(band_start)  # (F, 16, band_w)
     return _select_and_horner(band, band_start, xi, h_in, n)
 
 
 def _wide_quats(
     table: SplineTable, bands_side, start_side, center_floor,
-    i0, f0, shift,
+    i0, f0, shift, band_w: int,
 ) -> jnp.ndarray:
     """Wide-band eval: ONE sub-slice of the pre-extracted slabs per
     delay (frame-independent offset)."""
@@ -404,9 +427,11 @@ def _wide_quats(
     h_in = p - pf
 
     sfloor = jnp.floor(shift).astype(jnp.int32)
-    sub_off = jnp.clip(sfloor - center_floor + WIDE_SMAX, 0, WIDE - BAND)
+    sub_off = jnp.clip(
+        sfloor - center_floor + wide_smax(band_w), 0, WIDE - band_w
+    )
     sub = jax.lax.dynamic_slice(
-        bands_side, (0, 0, sub_off), (F, 16, BAND)
+        bands_side, (0, 0, sub_off), (F, 16, band_w)
     )
     sub_start = start_side + sub_off  # (F,)
     return _select_and_horner(sub, sub_start, xi, h_in, n)
@@ -432,16 +457,20 @@ def compute_problem(
     """
     shift = gyro_delay * table.sample_rate
     if bands is None:
-        q_a = _banded_quats(table.coeffs, win.i0_a, win.f0_a, win.base_a, shift)
-        q_b = _banded_quats(table.coeffs, win.i0_b, win.f0_b, win.base_b, shift)
+        q_a = _banded_quats(
+            table.coeffs, win.i0_a, win.f0_a, win.base_a, shift, win.band
+        )
+        q_b = _banded_quats(
+            table.coeffs, win.i0_b, win.f0_b, win.base_b, shift, win.band
+        )
     else:
         q_a = _wide_quats(
             table, bands.band_a, bands.start_a, bands.center_floor,
-            win.i0_a, win.f0_a, shift,
+            win.i0_a, win.f0_a, shift, win.band,
         )
         q_b = _wide_quats(
             table, bands.band_b, bands.start_b, bands.center_floor,
-            win.i0_b, win.f0_b, shift,
+            win.i0_b, win.f0_b, shift, win.band,
         )
     q_a = q_a * jax.lax.rsqrt(jnp.maximum(dot_soa(q_a, q_a), 1e-30))
     q_b = q_b * jax.lax.rsqrt(jnp.maximum(dot_soa(q_b, q_b), 1e-30))

@@ -264,13 +264,15 @@ def batched_lbfgs(
 # --- batched IRLS motion refinement ----------------------------------------
 
 
-def _adjugate_apply_sym3(A: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """adj(A) @ v for batched symmetric (..., 3, 3) A — one inverse-
-    iteration step up to scale (det division folds into the subsequent
-    normalize)."""
-    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    d, e = A[..., 1, 1], A[..., 1, 2]
-    f = A[..., 2, 2]
+def _adjugate_apply_sym3(abcdef, v: jnp.ndarray) -> jnp.ndarray:
+    """adj(A) @ v for batched symmetric 3x3 A given as its 6 unique
+    entries (a, b, c, d, e, f) of shape (...,) — one inverse-iteration
+    step up to scale (det division folds into the subsequent
+    normalize). Scalar-component form: a (F, 3, 3) tensor would pad
+    its trailing dims to an (8, 128) tile and every entry read becomes
+    a strided tile slice (measured: the tensor-form IRLS was ~60% of
+    the whole Sync stage)."""
+    a, b, c, d, e, f = abcdef
     m00 = d * f - e * e
     m01 = c * e - b * f
     m02 = b * e - c * d
@@ -309,7 +311,7 @@ def motion_irls(
     w = 1 but contribute 0 to A). M: (F, 3) warm start. var_k: (F,).
     Returns (F, 3) unit directions, sign-aligned with the warm start.
     """
-    eye = jnp.eye(3, dtype=P.dtype)
+    P0, P1, P2 = P[0], P[1], P[2]
 
     def body(M_cur, _):
         Mn = M_cur * jax.lax.rsqrt(
@@ -317,12 +319,21 @@ def motion_irls(
         )
         u = jnp.einsum("cfn,fc->fn", P, Mn)
         w = 1.0 / (1.0 + u * u * (var_k * var_k)[:, None])
-        A = jnp.einsum("cfn,fn,dfn->fcd", P, w, P)
-        tr = A[..., 0, 0] + A[..., 1, 1] + A[..., 2, 2]
-        B = A + (1e-6 * tr / 3.0 + 1e-30)[:, None, None] * eye
+        # the 6 unique entries of A = sum_n w P P^T as plain (F,)
+        # reductions — the einsum->(F,3,3) form materialized padded
+        # tiles and dominated the stage (see _adjugate_apply_sym3)
+        wp0, wp1, wp2 = w * P0, w * P1, w * P2
+        a = jnp.sum(wp0 * P0, axis=-1)
+        b = jnp.sum(wp0 * P1, axis=-1)
+        c = jnp.sum(wp0 * P2, axis=-1)
+        d = jnp.sum(wp1 * P1, axis=-1)
+        e = jnp.sum(wp1 * P2, axis=-1)
+        f = jnp.sum(wp2 * P2, axis=-1)
+        shift = 1e-6 * (a + d + f) / 3.0 + 1e-30
+        B6 = (a + shift, b, c, d + shift, e, f + shift)
         v = Mn
         for _ in range(IRLS_INVIT_ROUNDS):
-            v = _adjugate_apply_sym3(B, v)
+            v = _adjugate_apply_sym3(B6, v)
             v = v * jax.lax.rsqrt(
                 jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30)
             )

@@ -26,6 +26,7 @@ def stack_windows(windows: Sequence[TrackWindow]) -> TrackWindow:
     padding frames/features to the batch maxima."""
     Fm = max(w.num_frames for w in windows)
     Nm = max(w.num_features for w in windows)
+    band = max(w.band for w in windows)  # static: promote to the max
 
     def pad(win: TrackWindow) -> TrackWindow:
         df = Fm - win.num_frames
@@ -49,6 +50,7 @@ def stack_windows(windows: Sequence[TrackWindow]) -> TrackWindow:
             feat_mask=pf(win.feat_mask, [(0, df), (1, dn)]),
             frame_mask=pf(win.frame_mask, [(0, df)]),
             counts=pf(win.counts, [(0, df)]),
+            band=band,
         )
 
     padded = [pad(w) for w in windows]

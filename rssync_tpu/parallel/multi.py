@@ -104,43 +104,64 @@ def batched_presync_multi(
     delays: jnp.ndarray,
     key: jax.Array,
     wide: bool = False,
+    centers: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-window-table variant of parallel.batch.batched_presync:
-    (best_cost (W,), best_delay (W,)) over a shared delay grid."""
+    (best_cost (W,), best_delay (W,)).
+
+    delays: a shared (D,) grid, or a PER-WINDOW (W, D) grid padded
+    with inf (heterogeneous recipes: each clip keeps its own
+    initial_guess/radius/step — BASELINE configs[4] without the
+    round-2 homogeneity restriction). Padded (inf) entries evaluate at
+    the window's center (finite, so no NaNs propagate) and score inf.
+    centers: (W,) wide-band/sanitize centers; defaults to each
+    window's own finite-grid midpoint.
+    """
     from rssync_tpu.core.presync import DELAY_CHUNK
     from rssync_tpu.core.problem import make_wide_bands
 
     W = wins.frame_mask.shape[0]
-    D = delays.shape[0]
+    if delays.ndim == 1:
+        delays = jnp.broadcast_to(delays[None], (W, delays.shape[0]))
+    D = delays.shape[1]
+    finite = jnp.isfinite(delays)
+    if centers is None:
+        centers = (
+            jnp.min(jnp.where(finite, delays, jnp.inf), axis=1)
+            + jnp.max(jnp.where(finite, delays, -jnp.inf), axis=1)
+        ) * 0.5  # (W,)
     bands = None
     if wide:
-        center = 0.5 * (jnp.min(delays) + jnp.max(delays))
-        bands = jax.vmap(
-            lambda t, w: make_wide_bands(t, w, center)
-        )(tables, wins)
+        bands = jax.vmap(make_wide_bands)(tables, wins, centers)
     pad = (-D) % DELAY_CHUNK
-    delays_p = jnp.pad(delays, (0, pad), constant_values=jnp.inf)
-    Dp = delays_p.shape[0]
+    delays_p = jnp.pad(
+        delays, ((0, 0), (0, pad)), constant_values=jnp.inf
+    )  # (W, Dp)
+    Dp = delays_p.shape[1]
     keys = jax.random.split(key, W * Dp).reshape(Dp, W, 2)
-    chunks = delays_p.reshape(-1, DELAY_CHUNK)
+    chunks = delays_p.T.reshape(-1, DELAY_CHUNK, W)
     kchunks = keys.reshape(-1, DELAY_CHUNK, W, 2)
 
     def one_chunk(args):
-        ds, ks = args
+        ds, ks = args  # (K, W), (K, W, 2)
+        ds_eval = jnp.where(jnp.isfinite(ds), ds, centers[None])
         if bands is None:
-            per = lambda d, kk: jax.vmap(
-                lambda t, w, k: window_cost(t, w, d, k)
-            )(tables, wins, kk)
+            per = lambda d_w, kk: jax.vmap(
+                lambda t, w, d, k: window_cost(t, w, d, k)
+            )(tables, wins, d_w, kk)
         else:
-            per = lambda d, kk: jax.vmap(
-                lambda t, w, k, b: window_cost(t, w, d, k, b)
-            )(tables, wins, kk, bands)
-        return jax.vmap(per)(ds, ks)
+            per = lambda d_w, kk: jax.vmap(
+                lambda t, w, d, k, b: window_cost(t, w, d, k, b)
+            )(tables, wins, d_w, kk, bands)
+        return jax.vmap(per)(ds_eval, ks)
 
     costs = jax.lax.map(one_chunk, (chunks, kchunks)).reshape(Dp, W)
-    costs = jnp.where(jnp.isfinite(delays_p)[:, None], costs, jnp.inf)
-    i = jnp.argmin(costs, axis=0)
-    return jnp.take_along_axis(costs, i[None], axis=0)[0], delays_p[i]
+    costs = jnp.where(jnp.isfinite(delays_p.T), costs, jnp.inf)
+    i = jnp.argmin(costs, axis=0)  # (W,)
+    return (
+        jnp.take_along_axis(costs, i[None], axis=0)[0],
+        jnp.take_along_axis(delays_p, i[:, None], axis=1)[:, 0],
+    )
 
 
 @partial(jax.jit, static_argnames=("wide",))
@@ -164,13 +185,22 @@ def batched_sync_multi(
     )(tables, wins, initial_delays, search_centers, radius, keys)
 
 
+def _per_clip(value, n: int) -> list:
+    """Broadcast a scalar setting to n clips; pass sequences through."""
+    if isinstance(value, (list, tuple)):
+        if len(value) != n:
+            raise ValueError(f"expected {n} per-clip values, got {len(value)}")
+        return list(value)
+    return [value] * n
+
+
 def sync_clips(
     problems,
     syncpoint_lists: Sequence[Sequence[int]],
-    sync_window_frames: int,
-    initial_delay: float,
-    presync_step: float,
-    presync_radius: float,
+    sync_window_frames,
+    initial_delay,
+    presync_step,
+    presync_radius,
     key: jax.Array,
     sync_passes: int = 4,
 ) -> list[list[float]]:
@@ -179,41 +209,65 @@ def sync_clips(
     delay lists (seconds). All windows of all clips run as ONE batched
     PreSync launch + `sync_passes` batched Sync launches; shard the
     window axis over a Mesh (parallel/mesh.py) for multi-chip.
+
+    sync_window_frames / initial_delay / presync_step / presync_radius
+    may each be a scalar (shared) or a per-clip sequence — clips keep
+    their own settings via per-window delay grids, wide-band centers,
+    and search radii (BASELINE configs[4] heterogeneous fleets).
     """
+    n = len(problems)
+    wsizes = _per_clip(sync_window_frames, n)
+    inits = _per_clip(initial_delay, n)
+    steps = _per_clip(presync_step, n)
+    radii = _per_clip(presync_radius, n)
+
     tables, wins_open, wins_closed, owners = [], [], [], []
     for ci, (sp, pts) in enumerate(zip(problems, syncpoint_lists)):
         for pos in pts:
             tables.append(sp.spline_table)
             wins_open.append(
-                sp.build_window(pos, pos + sync_window_frames, closed=False)
+                sp.build_window(pos, pos + wsizes[ci], closed=False)
             )
             wins_closed.append(
-                sp.build_window(pos, pos + sync_window_frames, closed=True)
+                sp.build_window(pos, pos + wsizes[ci], closed=True)
             )
             owners.append(ci)
 
-    margin = abs(initial_delay) + presync_radius
+    margin = max(
+        abs(i0) + r for i0, r in zip(inits, radii)
+    )
     t_stack, w_open = stack_problems(tables, wins_open, margin)
     _, w_closed = stack_problems(tables, wins_closed, margin)
 
-    grid = []
-    d = initial_delay - presync_radius
-    while d < initial_delay + presync_radius:
-        grid.append(d)
-        d += presync_step
-    delays = jnp.asarray(np.asarray(grid), jnp.float32)
+    def clip_grid(ci):
+        g = []
+        d = inits[ci] - radii[ci]
+        while d < inits[ci] + radii[ci]:
+            g.append(d)
+            d += steps[ci]
+        return g
+
+    grids = [clip_grid(ci) for ci in range(n)]
+    Dmax = max(len(g) for g in grids)
+    delays_np = np.full((len(owners), Dmax), np.inf, np.float32)
+    for wi, ci in enumerate(owners):
+        delays_np[wi, : len(grids[ci])] = grids[ci]
+    delays = jnp.asarray(delays_np)
+    centers = jnp.asarray([inits[ci] for ci in owners], jnp.float32)
+    radius_w = jnp.asarray([radii[ci] for ci in owners], jnp.float32)
 
     wide = all(
-        sp._wide_ok(presync_radius) for sp in problems
+        sp._wide_ok(r) for sp, r in zip(problems, radii)
     )
     key, k1 = jax.random.split(key)
-    _, best = batched_presync_multi(t_stack, w_open, delays, k1, wide=wide)
-    centers = jnp.full_like(best, initial_delay)
+    _, best = batched_presync_multi(
+        t_stack, w_open, delays, k1, wide=wide, centers=centers
+    )
     cur = best
     for _ in range(sync_passes):
         key, k = jax.random.split(key)
         res = batched_sync_multi(
-            t_stack, w_closed, cur, centers, presync_radius, k, wide=wide
+            t_stack, w_closed, cur, centers, radius_w, k, wide=wide
         )
         cur = res.delay
 

@@ -87,3 +87,25 @@ def test_multi_clip_sharded_over_mesh():
     )
     err = np.abs(np.asarray(res.delay, np.float64) - np.asarray(truth))
     assert err.max() < 1e-3
+
+
+def test_sync_clips_heterogeneous_recipes():
+    """Per-clip sync_window / initial_guess / presync radius+step
+    (VERDICT r2 item 7: no homogeneous-fleet restriction). Clip 2's
+    grid is centered away from zero so only a per-clip grid finds it."""
+    sp1, sc1 = _clip_problem(41, 0.0123)
+    sp2, sc2 = _clip_problem(42, -0.0912, pad_extra=0.7)
+    out = sync_clips(
+        [sp1, sp2],
+        [[0, 4], [2]],
+        sync_window_frames=[5, 6],
+        initial_delay=[0.0, -0.08],
+        presync_step=[0.002, 0.004],
+        presync_radius=[0.05, 0.04],
+        key=jax.random.PRNGKey(0),
+    )
+    assert len(out[0]) == 2 and len(out[1]) == 1
+    for d in out[0]:
+        assert abs(d - sc1.true_delay) < 5e-4
+    for d in out[1]:
+        assert abs(d - sc2.true_delay) < 5e-4
