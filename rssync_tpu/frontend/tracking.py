@@ -1038,6 +1038,30 @@ class FrameFeed:
 #: frames per device tracking launch
 TRACK_BLOCK = 16
 
+#: pair ranges closer than this many frames merge into one decode run
+#: (re-seeking costs a keyframe-to-position decode of up to a GOP)
+RANGE_MERGE_GAP = 16
+
+
+def _merge_pair_ranges(
+    ranges, frame_begin: int, frame_end: int
+) -> list[tuple[int, int]]:
+    """Clip (begin, end)-exclusive PAIR ranges to [frame_begin,
+    frame_end), sort, and merge overlapping/near-adjacent ones."""
+    clipped = sorted(
+        (max(frame_begin, int(b)), min(frame_end, int(e)))
+        for b, e in ranges
+    )
+    out: list[list[int]] = []
+    for b, e in clipped:
+        if e <= b:
+            continue
+        if out and b <= out[-1][1] + RANGE_MERGE_GAP:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([b, e])
+    return [(b, e) for b, e in out]
+
 
 def track_frames(
     problem,
@@ -1049,6 +1073,7 @@ def track_frames(
     method: str = "lk",
     progress: bool = False,
     block: int = TRACK_BLOCK,
+    ranges=None,
 ) -> None:
     """Track every consecutive frame pair in [frame_begin, frame_end)
     and feed `problem.set_track_result` (ref: core_testcode.cpp:97-162).
@@ -1058,13 +1083,22 @@ def track_frames(
     block's pairs track in one launch) or "dis" (host cv2 DIS dense
     flow sampled at the grid — the reference's tracker, for
     cross-validation).
+
+    ranges: optional (begin, end)-exclusive PAIR index ranges
+    restricting tracking to the pairs the engine will read — the
+    pipeline passes the union of its syncpoint windows, so host H.264
+    decode (the dominant real-video cost) skips inter-window frames
+    entirely. The reference decodes its whole frame_range inline
+    (core_testcode.cpp:99-122) but equally never reads inter-window
+    pairs, so recipe outputs are identical. None = every pair.
     """
-    src = (
-        FrameFeed(video_path, frame_begin, frame_end + 1)
-        if method == "lk"
-        else VideoSource(video_path)
-    )
-    pts = grid_points(src.width, src.height, grid_step)
+    if ranges is None:
+        ranges = [(frame_begin, frame_end)]
+    ranges = _merge_pair_ranges(ranges, frame_begin, frame_end)
+    probe = VideoSource(video_path)
+    width, height = probe.width, probe.height
+    probe.cap.release()
+    pts = grid_points(width, height, grid_step)
     pts_j = jnp.asarray(pts, jnp.float32)
 
     def emit(frame_idx, tracked, ts_cur, ts_nxt):
@@ -1072,7 +1106,7 @@ def track_frames(
             lens, pts_j, jnp.asarray(tracked, jnp.float32)
         )
         ts_a, ts_b = rolling_shutter_ts(
-            lens, pts, tracked, ts_cur, ts_nxt, src.height
+            lens, pts, tracked, ts_cur, ts_nxt, height
         )
         problem.set_track_result(
             frame_idx,
@@ -1086,23 +1120,22 @@ def track_frames(
         import cv2
 
         dis = cv2.DISOpticalFlow.create()
-        it = src.frames(frame_begin, frame_end + 1)
-        cur = next(it)
-        for nxt in it:
-            if progress:
-                print(f"processing frame {cur.index}", flush=True)
-            flow = dis.calc(cur.gray, nxt.gray, None)
-            ij = pts.astype(int)
-            tracked = pts + flow[ij[:, 1], ij[:, 0]]
-            emit(cur.index, tracked, cur.timestamp, nxt.timestamp)
-            cur = nxt
+        src = VideoSource(video_path)
+        for pb, pe in ranges:
+            it = src.frames(pb, pe + 1)
+            cur = next(it)
+            for nxt in it:
+                if progress:
+                    print(f"processing frame {cur.index}", flush=True)
+                flow = dis.calc(cur.gray, nxt.gray, None)
+                ij = pts.astype(int)
+                tracked = pts + flow[ij[:, 1], ij[:, 0]]
+                emit(cur.index, tracked, cur.timestamp, nxt.timestamp)
+                cur = nxt
         return
     if method != "lk":
         raise ValueError(f"unknown tracking method {method!r}")
 
-    it = iter(src)
-    carry: Frame | None = None
-    done = False
     # software pipeline: dispatch block k and keep up to DEPTH blocks
     # in flight; decode (host, via the decode-ahead FrameFeed
     # workers), upload, and tracking (device+tunnel) all overlap
@@ -1121,28 +1154,33 @@ def track_frames(
                 p_frames[i + 1].timestamp,
             )
 
-    while not done:
-        frames = [carry] if carry is not None else []
-        while len(frames) < block + 1:
-            try:
-                frames.append(next(it))
-            except StopIteration:
-                done = True
+    for pb, pe in ranges:
+        it = iter(FrameFeed(video_path, pb, pe + 1))
+        carry: Frame | None = None
+        done = False
+        while not done:
+            frames = [carry] if carry is not None else []
+            while len(frames) < block + 1:
+                try:
+                    frames.append(next(it))
+                except StopIteration:
+                    done = True
+                    break
+            if len(frames) < 2:
                 break
-        if len(frames) < 2:
-            break
-        if progress:
-            print(
-                f"processing frames {frames[0].index}..{frames[-1].index - 1}",
-                flush=True,
-            )
-        stack = jnp.asarray(np.stack([f.gray for f in frames]))  # u8 on device
-        fut = lk_track_video(
-            stack, grid_step=grid_step or auto_grid_step(src.width)
-        )  # async dispatch; not fetched yet
-        pending.append((frames, fut))
-        if len(pending) >= DEPTH:
-            drain(pending.pop(0))
-        carry = frames[-1]
+            if progress:
+                print(
+                    f"processing frames "
+                    f"{frames[0].index}..{frames[-1].index - 1}",
+                    flush=True,
+                )
+            stack = jnp.asarray(np.stack([f.gray for f in frames]))  # u8
+            fut = lk_track_video(
+                stack, grid_step=grid_step or auto_grid_step(width)
+            )  # async dispatch; not fetched yet
+            pending.append((frames, fut))
+            if len(pending) >= DEPTH:
+                drain(pending.pop(0))
+            carry = frames[-1]
     for p in pending:
         drain(p)

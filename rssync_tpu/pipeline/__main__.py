@@ -36,6 +36,10 @@ def main(argv=None) -> int:
     ap.add_argument("--track-cache", metavar="DIR", default=None,
                     help="cache the track stage to DIR (skip re-decoding "
                          "video on repeated runs)")
+    ap.add_argument("--full-decode", action="store_true",
+                    help="decode/track the whole frame_range like the "
+                         "reference instead of only syncpoint-window pairs "
+                         "(identical outputs; slower host decode)")
     ap.add_argument("--guess-orient", action="store_true",
                     help="rank all 48 gyro orientation variants by PreSync "
                          "cost instead of running the sync pipeline")
@@ -65,6 +69,7 @@ def main(argv=None) -> int:
         results = run_multi_recipes(
             args.recipe, method=args.method, seed=args.seed,
             progress=not args.quiet, track_cache_dir=args.track_cache,
+            decode_scope="full" if args.full_decode else "windows",
         )
         for path, res in zip(args.recipe, results):
             for pos, dms in zip(res.syncpoints, res.delays_ms):
@@ -77,6 +82,7 @@ def main(argv=None) -> int:
         args.recipe[0], method=args.method, seed=args.seed,
         batched=not args.sequential, progress=not args.quiet,
         track_cache_dir=args.track_cache, trace=args.trace,
+        decode_scope="full" if args.full_decode else "windows",
     )
     for pos, dms in zip(result.syncpoints, result.delays_ms):
         print(f"{pos},{dms:g}")

@@ -85,10 +85,30 @@ def _load_recipe(recipe) -> dict:
     return recipe
 
 
+def _window_pair_ranges(recipe: dict) -> list[tuple[int, int]] | None:
+    """Pair ranges the engine will actually read: the union of every
+    syncpoint window (plus the debug.csv first window). Decoding only
+    these skips inter-window frames — identical outputs (the reference
+    decodes everything but equally never reads inter-window pairs,
+    core_testcode.cpp:99-122) at a fraction of the decode cost."""
+    params = recipe["params"]
+    frame_start, frame_end = (int(v) for v in recipe["input"]["frame_range"])
+    window = int(params["sync_window"])
+    pts = make_syncpoints(params, frame_start, frame_end)
+    return [(p, p + window + 1) for p in pts] + [
+        (frame_start, frame_start + window + 1)  # debug.csv window
+    ]
+
+
 def _prepare_problem(
-    recipe: dict, method, seed, track_cache_dir, timings, progress
+    recipe: dict, method, seed, track_cache_dir, timings, progress,
+    decode_scope: str = "windows",
 ):
-    """Gyro + track intake for one recipe -> (SyncProblem, frame range)."""
+    """Gyro + track intake for one recipe -> (SyncProblem, frame range).
+
+    decode_scope: "windows" (default) decodes/tracks only the pairs
+    inside syncpoint windows; "full" decodes the whole frame_range
+    (the reference's behavior — same outputs, slower host decode)."""
     from rssync_tpu.utils import track_cache
 
     inp = recipe["input"]
@@ -99,17 +119,30 @@ def _prepare_problem(
         inp["lens_profile"]["path"], inp["lens_profile"]["name"]
     )
     frame_start, frame_end = (int(v) for v in inp["frame_range"])
+    if decode_scope == "windows":
+        from rssync_tpu.frontend.tracking import _merge_pair_ranges
+
+        ranges = _merge_pair_ranges(
+            _window_pair_ranges(recipe), frame_start, frame_end
+        )
+        if ranges == [(frame_start, frame_end)]:
+            ranges = None  # windows tile the whole span: same as full
+    elif decode_scope == "full":
+        ranges = None
+    else:
+        raise ValueError(f"unknown decode_scope {decode_scope!r}")
     with timings.stage("tracking"):
         key = track_cache.cache_key(
             inp["video_path"], frame_start, frame_end,
             inp.get("grid_step"), method, tuple(lens.as_array()),
+            ranges=ranges,
         ) if track_cache_dir else ""
         track_cache.tracks_cached_or_compute(
             sp, track_cache_dir, key,
             lambda: track_frames(
                 sp, lens, inp["video_path"], frame_start, frame_end,
                 grid_step=inp.get("grid_step"),
-                method=method, progress=progress,
+                method=method, progress=progress, ranges=ranges,
             ),
         )
     return sp, frame_start, frame_end
@@ -124,6 +157,7 @@ def run_recipe(
     track_cache_dir: str | None = None,
     timings=None,
     trace: bool = False,
+    decode_scope: str = "windows",
 ) -> RecipeResult:
     """Execute a recipe (path, file object, or dict).
 
@@ -131,6 +165,9 @@ def run_recipe(
     sync experiments re-run without re-decoding video (SURVEY §5.4).
     timings: optional utils.timing.Timings collecting per-stage
     wall-clock.
+    decode_scope: "windows" (default) decodes only syncpoint-window
+    pairs; "full" decodes the whole frame_range (reference behavior,
+    identical outputs).
     """
     from rssync_tpu.utils.timing import Timings
     from rssync_tpu.utils import track_cache
@@ -142,7 +179,8 @@ def run_recipe(
     output = recipe.get("output", {})
 
     sp, frame_start, frame_end = _prepare_problem(
-        recipe, method, seed, track_cache_dir, timings, progress
+        recipe, method, seed, track_cache_dir, timings, progress,
+        decode_scope=decode_scope,
     )
     sync_window = int(params["sync_window"])
     syncpoints = make_syncpoints(params, frame_start, frame_end)
@@ -288,6 +326,7 @@ def run_multi_recipes(
     seed: int = 0,
     progress: bool = False,
     track_cache_dir: str | None = None,
+    decode_scope: str = "windows",
 ) -> list[RecipeResult]:
     """Sync N clips as ONE batched engine run (BASELINE configs[4]).
 
@@ -297,10 +336,12 @@ def run_multi_recipes(
     PreSync launch + 4 Sync launches for the whole fleet. Shard the
     window axis over a Mesh for multi-chip (parallel/mesh.py).
 
-    Constraints (asserted): all recipes must share sync_window,
-    initial_guess, and simple-presync settings, and use_simple_presync
-    must be on (the batched multi path needs a bounded delay swing for
-    its padded spline-table stacking).
+    Each recipe keeps its OWN sync_window, initial_guess, and
+    simple-presync radius/step (per-window delay grids and wide-band
+    centers in the engine — heterogeneous fleets are fine). The one
+    constraint (asserted): use_simple_presync must be on for every
+    recipe — the batched multi path needs a bounded delay swing for
+    its padded spline-table stacking.
     """
     from rssync_tpu.parallel.multi import sync_clips
     from rssync_tpu.utils.timing import Timings
@@ -313,43 +354,39 @@ def run_multi_recipes(
             d = d.get(p, {})
         return d.get(path[-1], default)
 
-    first = loaded[0]
-    window = int(first["params"]["sync_window"])
-    initial_ms = float(param(first, "input", "initial_guess", default=0.0))
-    radius_ms = float(
-        param(first, "input", "simple_presync_radius", default=200.0)
-    )
-    step_ms = float(param(first, "input", "simple_presync_step", default=2.0))
     for r in loaded:
         if not bool(param(r, "input", "use_simple_presync", default=False)):
             raise ValueError("multi-clip mode requires use_simple_presync")
-        same = (
-            int(r["params"]["sync_window"]) == window
-            and float(param(r, "input", "initial_guess", default=0.0))
-            == initial_ms
-            and float(param(r, "input", "simple_presync_radius", default=200.0))
-            == radius_ms
-            and float(param(r, "input", "simple_presync_step", default=2.0))
-            == step_ms
-        )
-        if not same:
-            raise ValueError(
-                "multi-clip mode requires identical sync_window/"
-                "initial_guess/presync settings across recipes"
-            )
+    windows = [int(r["params"]["sync_window"]) for r in loaded]
+    inits_ms = [
+        float(param(r, "input", "initial_guess", default=0.0))
+        for r in loaded
+    ]
+    radii_ms = [
+        float(param(r, "input", "simple_presync_radius", default=200.0))
+        for r in loaded
+    ]
+    steps_ms = [
+        float(param(r, "input", "simple_presync_step", default=2.0))
+        for r in loaded
+    ]
 
     problems, syncpoint_lists = [], []
     for i, r in enumerate(loaded):
         sp, fs, fe = _prepare_problem(
-            r, method, seed + i, track_cache_dir, timings, progress
+            r, method, seed + i, track_cache_dir, timings, progress,
+            decode_scope=decode_scope,
         )
         problems.append(sp)
         syncpoint_lists.append(make_syncpoints(r["params"], fs, fe))
 
     with timings.stage("sync_all_clips"):
         delay_lists = sync_clips(
-            problems, syncpoint_lists, window, initial_ms / 1000.0,
-            step_ms / 1000.0, radius_ms / 1000.0, problems[0].next_key(),
+            problems, syncpoint_lists, windows,
+            [v / 1000.0 for v in inits_ms],
+            [v / 1000.0 for v in steps_ms],
+            [v / 1000.0 for v in radii_ms],
+            problems[0].next_key(),
             sync_passes=SYNC_PASSES,
         )
     if progress:

@@ -25,11 +25,13 @@ def cache_key(
     grid_step,
     method: str,
     lens_params: tuple,
+    ranges=None,
 ) -> str:
     st = os.stat(video_path)
     raw = repr((
         os.path.abspath(video_path), st.st_size, int(st.st_mtime),
         frame_begin, frame_end, grid_step, method, lens_params,
+        None if ranges is None else tuple(map(tuple, ranges)),
     ))
     return hashlib.sha256(raw.encode()).hexdigest()[:24]
 

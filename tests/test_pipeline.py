@@ -143,10 +143,61 @@ def test_multi_recipe_cli(clip, tmp_path_factory):
     assert a.shape == (3, 2)
 
 
-def test_multi_recipe_rejects_mismatched_params(clip, tmp_path):
+def test_multi_recipe_heterogeneous_params(clip, tmp_path):
+    """Per-recipe sync_window / presync settings are supported
+    (per-window delay grids); only missing use_simple_presync is
+    rejected."""
     from rssync_tpu.pipeline.recipe import run_multi_recipes
 
     r1 = make_recipe(clip, tmp_path)
-    r2 = make_recipe(clip, tmp_path, params__sync_window=10)
+    r2 = make_recipe(
+        clip, tmp_path, params__sync_window=10,
+        input__simple_presync_radius=60.0, input__simple_presync_step=4.0,
+    )
+    results = run_multi_recipes([r1, r2], track_cache_dir=str(tmp_path / "c"))
+    for res in results:
+        assert res.delays_ms
+        for dms in res.delays_ms:
+            assert abs(dms / 1000.0 - clip.true_delay) < 5e-4
+
+    r3 = make_recipe(clip, tmp_path, input__use_simple_presync=False)
     with pytest.raises(ValueError):
-        run_multi_recipes([r1, r2])
+        run_multi_recipes([r1, r3])
+
+
+def test_window_decode_scope_matches_full(clip, tmp_path, monkeypatch):
+    """decode_scope="windows" (default) skips inter-window frames but
+    produces bit-identical recipe outputs to the reference-style full
+    decode (the engine never reads inter-window pairs)."""
+    from rssync_tpu.frontend import tracking as T
+    from rssync_tpu.frontend.tracking import _merge_pair_ranges
+
+    assert _merge_pair_ranges([(3, 9), (0, 5), (40, 60)], 0, 50) == [
+        (0, 9), (40, 50)
+    ]
+    assert _merge_pair_ranges([(0, 5), (5 + T.RANGE_MERGE_GAP, 30)], 0, 30) \
+        == [(0, 30)]
+
+    monkeypatch.setattr(T, "RANGE_MERGE_GAP", 0)
+    over = dict(
+        params__sync_window=4,
+        params__syncpoints_format="array",
+        params__syncpoints_array=[0, 18],
+    )
+    d_w = tmp_path / "w"
+    d_f = tmp_path / "f"
+    d_w.mkdir()
+    d_f.mkdir()
+    res_w = run_recipe(make_recipe(clip, d_w, **over), batched=True, seed=0)
+    res_f = run_recipe(
+        make_recipe(clip, d_f, **over), batched=True, seed=0,
+        decode_scope="full",
+    )
+    assert res_w.syncpoints == res_f.syncpoints == [0, 18]
+    assert res_w.delays_ms == res_f.delays_ms
+    for dms in res_w.delays_ms:
+        assert abs(dms - clip.true_delay * 1000.0) < 0.5
+    # debug.csv (first-window loss surface) identical too
+    dbg_w = np.loadtxt(res_w.debug_csv_path, delimiter=",", ndmin=2)
+    dbg_f = np.loadtxt(res_f.debug_csv_path, delimiter=",", ndmin=2)
+    np.testing.assert_array_equal(dbg_w, dbg_f)
