@@ -27,6 +27,7 @@ from rssync_tpu.frontend import tracking as T
 
 B, H, Wp = 16, 2028, 2816
 N, S = 130, 31
+SD = 40  # DMA rows: 31 needed + up to 7 residual, shape multiple of 8
 REPS = 200  # chained extractions per dispatch (amortizes the tunnel)
 
 
@@ -41,7 +42,7 @@ def _kernel(oy_ref, obx_ref, img_ref, out_ref, sems):
         return pltpu.make_async_copy(
             img_ref.at[
                 b,
-                pl.ds(oy_ref[b, i], S),
+                pl.ds(oy_ref[b, i] * 8, SD),  # *8: provably aligned
                 pl.ds(obx_ref[b, i] * T.LANE, 2 * T.LANE),
             ],
             out_ref.at[i],
@@ -68,14 +69,14 @@ def extract_pallas(img, oy, obx):
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (None, N, S, 2 * T.LANE), lambda b, oy, obx: (b, 0, 0, 0),
+            (None, N, SD, 2 * T.LANE), lambda b, oy, obx: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
     )
     return pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((B, N, S, 2 * T.LANE), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((B, N, SD, 2 * T.LANE), jnp.uint8),
         grid_spec=grid_spec,
     )(oy, obx, img)
 
@@ -83,7 +84,7 @@ def extract_pallas(img, oy, obx):
 @jax.jit
 def chain_pallas(img, oy, obx):
     def one(carry, i):
-        out = extract_pallas(img, (oy + i) % (H - S), obx)
+        out = extract_pallas(img, (oy + i) % ((H - SD) // 8), obx)
         return carry + jnp.sum(out.astype(jnp.float32)), None
 
     tot, _ = jax.lax.scan(one, 0.0, jnp.arange(REPS, dtype=jnp.int32))
@@ -93,7 +94,7 @@ def chain_pallas(img, oy, obx):
 @jax.jit
 def chain_xla(img, oy, obx):
     def one(carry, i):
-        out = T._gather_blocks(img, (oy + i) % (H - S), obx, S)
+        out = T._gather_blocks(img, (oy * 8 + i) % (H - S), obx, S)
         return carry + jnp.sum(out), None
 
     tot, _ = jax.lax.scan(one, 0.0, jnp.arange(REPS, dtype=jnp.int32))
@@ -104,13 +105,14 @@ def main():
     print(f"# device: {jax.devices()[0]}", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 255, (B, H, Wp)), jnp.uint8)
-    oy = jnp.asarray(rng.integers(0, H - S, (B, N)), jnp.int32)
+    # row-block index: kernel DMAs rows [8*oy, 8*oy + SD)
+    oy = jnp.asarray(rng.integers(0, (H - SD) // 8, (B, N)), jnp.int32)
     obx = jnp.asarray(rng.integers(0, Wp // T.LANE - 1, (B, N)), jnp.int32)
     fetch(img)
 
     # correctness (interior indices -> exact match)
     a = np.asarray(extract_pallas(img, oy, obx))
-    b = np.asarray(T._gather_blocks(img, oy, obx, S)).astype(np.uint8)
+    b = np.asarray(T._gather_blocks(img, oy * 8, obx, SD)).astype(np.uint8)
     match = np.array_equal(a, b)
     print(f"# correctness vs XLA gather: {match}", file=sys.stderr,
           flush=True)

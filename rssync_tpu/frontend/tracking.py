@@ -47,6 +47,8 @@ from typing import Iterator
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from rssync_tpu.ops import lens as lens_ops
 
@@ -65,6 +67,17 @@ VOL_D = 4
 VOL_BOX = 2
 
 LANE = 128
+
+#: search-strip DMA geometry: Mosaic DMA slices need row starts and
+#: shapes divisible by the 8-row sublane tile, so the strip fetch
+#: quantizes each window's top row down to a multiple of 8 and copies
+#: STRIP_ROWS rows; the <=7-row residual is folded into the sampling
+#: taps. 40 covers the largest fine-level window (S=31) + residual.
+STRIP_ROWS = 40
+#: extra bottom rows on fine-level images (edge-replicated) so strips
+#: for windows that overhang the bottom edge stay in-bounds, matching
+#: the legacy per-row clamp for overhangs up to this depth
+STRIP_PAD = 24
 
 
 def auto_levels(height: int, width: int) -> int:
@@ -254,14 +267,20 @@ def build_pyramid_sparse(
     return pyr
 
 
-def _pad_lanes(img: jnp.ndarray) -> jnp.ndarray:
+def _pad_lanes(img: jnp.ndarray, strip_rows: bool = False) -> jnp.ndarray:
     """Edge-pad width to a multiple of 128 so the image reshapes into
-    (rows*blocks, 128) lane blocks for the row-block gather."""
-    W = img.shape[-1]
+    (rows*blocks, 128) lane blocks for the row-block gather. With
+    strip_rows=True (fine/search levels) additionally edge-pad the
+    bottom by STRIP_PAD rows rounded up to the 8-row DMA tile, so
+    window strips that overhang the bottom edge stay in-bounds for
+    the strip-DMA fetch (same values as the legacy per-row clamp for
+    overhangs up to STRIP_PAD)."""
+    H, W = img.shape[-2], img.shape[-1]
     Wp = -(-W // LANE) * LANE
-    if Wp == W:
+    Hp = -(-(H + STRIP_PAD) // 8) * 8 if strip_rows else H
+    if Wp == W and Hp == H:
         return img
-    cfg = [(0, 0)] * (img.ndim - 1) + [(0, Wp - W)]
+    cfg = [(0, 0)] * (img.ndim - 2) + [(0, Hp - H), (0, Wp - W)]
     return jnp.pad(img, cfg, mode="edge")
 
 
@@ -289,6 +308,97 @@ def _gather_blocks(imgs: jnp.ndarray, oy: jnp.ndarray, obx: jnp.ndarray,
     out = jnp.take(src, idx.reshape(-1), axis=0)
     N = oy.shape[1]
     return out.reshape(B, N, S, 2 * LANE).astype(jnp.float32)
+
+
+def _dma_strips_kernel(oyq_ref, obx_ref, img_ref, out_ref, sems):
+    """Per-pair program: double-buffered async copies of each point's
+    (STRIP_ROWS, 256) strip from the HBM-resident image into the VMEM
+    output block. Row starts are 8*oyq (provably tile-aligned), column
+    starts 128*obx (lane-aligned) — the two Mosaic DMA constraints
+    that sank round 2's per-patch kernel (ops/pallas_patch.py); the
+    residual offsets are resolved by the caller's interpolation taps,
+    so the kernel never converts or rolls."""
+    b = pl.program_id(0)
+    n = out_ref.shape[0]
+
+    def get(i, slot):
+        return pltpu.make_async_copy(
+            img_ref.at[
+                b,
+                pl.ds(oyq_ref[b, i] * 8, STRIP_ROWS),
+                pl.ds(obx_ref[b, i] * LANE, 2 * LANE),
+            ],
+            out_ref.at[i],
+            sems.at[slot],
+        )
+
+    get(0, 0).start()
+
+    def body(i, _):
+        @pl.when(i + 1 < n)
+        def _():
+            get(i + 1, (i + 1) % 2).start()
+
+        get(i, i % 2).wait()
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _gather_strips_pallas(imgs, oyq, obx, interpret=False):
+    """(B, N, STRIP_ROWS, 256) strips at rows [8*oyq, 8*oyq+40), cols
+    [128*obx, +256), in the image dtype. Callers pre-clamp indices so
+    every strip is fully in-bounds."""
+    B, N = oyq.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (None, N, STRIP_ROWS, 2 * LANE),
+            lambda b, oyq, obx: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+    )
+    return pl.pallas_call(
+        _dma_strips_kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, N, STRIP_ROWS, 2 * LANE), imgs.dtype
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(oyq, obx, imgs)
+
+
+def _on_tpu() -> bool:
+    try:
+        return "TPU" in jax.devices()[0].device_kind.upper()
+    except Exception:
+        return False
+
+
+def _strip_path_ok(img: jnp.ndarray) -> bool:
+    """Static predicate: the strip-DMA search fetch handles this level
+    (big enough for whole strips, DMA-friendly dtype). Small frames and
+    exotic dtypes keep the legacy per-row-clamped gather."""
+    return (
+        img.shape[-2] >= STRIP_ROWS
+        and img.shape[-1] >= 2 * LANE
+        and img.dtype in (jnp.uint8, jnp.float32)
+    )
+
+
+def _gather_strips(imgs: jnp.ndarray, oyq: jnp.ndarray,
+                   obx: jnp.ndarray) -> jnp.ndarray:
+    """Strip fetch: Pallas DMA on TPU (6.2x the XLA gather's rate at
+    the 2.7k operating shape, experiments/r3_dma.py), XLA row-block
+    gather elsewhere — identical values (strips are pre-clamped
+    in-bounds, so the XLA path's per-row clip never engages)."""
+    if _on_tpu():
+        return _gather_strips_pallas(imgs, oyq, obx)
+    return _gather_blocks(imgs, oyq * 8, obx, STRIP_ROWS).astype(imgs.dtype)
 
 
 def _tap2(pos: jnp.ndarray, size: int, width: int,
@@ -436,19 +546,48 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
     origin = anchor - (radius + M)
     oy = origin[..., 1].astype(jnp.int32)
     ox = origin[..., 0].astype(jnp.int32)
-    obx = ox // LANE
-    rem = (ox - obx * LANE).astype(jnp.float32)  # (B, N) integer-valued
-    wide = _gather_blocks(img_b, oy, obx, S)  # (B, N, S, 256)
-    Cr = _tap2(rem, Sc, 2 * LANE)  # one-hot (rem is integral) — exact
-    buf = _bmm(wide, Cr, (1, 1), jax.lax.Precision.HIGHEST)  # (B,N,S,Sc)
+    if _strip_path_ok(img_b) and S <= STRIP_ROWS - 8:
+        # strip fetch: top row quantized down to the 8-row DMA tile,
+        # strip clamped fully in-bounds (fine levels carry STRIP_PAD
+        # edge-replicated bottom rows, so sane windows never clamp);
+        # the row residual rides the sampling taps below
+        Hp = img_b.shape[1]
+        NB = img_b.shape[2] // LANE
+        oyq = jnp.clip(oy // 8, 0, (Hp - STRIP_ROWS) // 8)
+        obx = jnp.clip(ox // LANE, 0, NB - 2)
+        roff = jnp.clip(
+            (oy - oyq * 8).astype(jnp.float32), 0.0,
+            float(STRIP_ROWS - S),
+        )
+        rem = jnp.clip(
+            (ox - obx * LANE).astype(jnp.float32), 0.0,
+            float(2 * LANE - Sc),
+        )
+        wide = _gather_strips(img_b, oyq, obx)  # (B, N, 40, 256)
+    else:
+        obx = ox // LANE
+        rem = (ox - obx * LANE).astype(jnp.float32)  # integer-valued
+        roff = jnp.zeros_like(rem)
+        wide = _gather_blocks(img_b, oy, obx, S)  # (B, N, S, 256)
+    if wide.dtype == jnp.uint8:
+        # u8 pixels and one-hot taps are exact in bf16: the narrowing
+        # select runs as a single bf16 MXU pass, f32 accumulation
+        Cr = _tap2(rem, Sc, 2 * LANE, jnp.bfloat16)
+        buf = _bmm(wide.astype(jnp.bfloat16), Cr, (1, 1))
+    else:
+        Cr = _tap2(rem, Sc, 2 * LANE)  # one-hot (rem integral) — exact
+        buf = _bmm(
+            wide.astype(jnp.float32), Cr, (1, 1),
+            jax.lax.Precision.HIGHEST,
+        )  # (B, N, rows, Sc)
     g_frac = ((pts_level + guess) - anchor).astype(jnp.float32)  # (B, N, 2)
 
     def body(_, d_rel):
-        # sample positions inside buf: rows M + zy + [0..w), cols
-        # M + zx + [0..w)
+        # sample positions inside buf: rows roff + M + zy + [0..w),
+        # cols M + zx + [0..w)
         z = jnp.clip(g_frac + d_rel, -(M - 1.0), M - 1.0)
         patch_b = _sample_windows(
-            buf, M + z[..., 1], M + z[..., 0], w, w, precision,
+            buf, roff + M + z[..., 1], M + z[..., 0], w, w, precision,
         )
         e = patch_b - t
         bx = jnp.sum(ix * e, axis=(-2, -1))
@@ -680,10 +819,12 @@ def _lk_pairs_core(imgs_a: jnp.ndarray, imgs_b: jnp.ndarray,
     """Track pts from imgs_a[i] to imgs_b[i]: (B, H, W) x2 + (N, 2)
     -> (B, N, 2) tracked positions."""
     need = _needed_levels(levels, iters, radius)
+    fine = {l for l, _i, _m, _r in _fine_plan(levels, iters, radius)}
     pyr_a = build_pyramid_sparse(imgs_a, levels, need)
     pyr_b = build_pyramid_sparse(imgs_b, levels, need)
     pairs = {
-        l: (_pad_lanes(pyr_a[l]), _pad_lanes(pyr_b[l])) for l in need
+        l: (_pad_lanes(pyr_a[l], l in fine), _pad_lanes(pyr_b[l], l in fine))
+        for l in need
     }
     return _lk_core(pairs, pts, levels, radius, iters)
 
@@ -693,10 +834,11 @@ def _lk_video_core(frames: jnp.ndarray, pts: jnp.ndarray, levels: int,
     """Track consecutive pairs of a frame block with ONE shared
     pyramid per frame (each interior frame serves two pairs)."""
     need = _needed_levels(levels, iters, radius)
+    fine = {l for l, _i, _m, _r in _fine_plan(levels, iters, radius)}
     pyr = build_pyramid_sparse(frames, levels, need)
     pairs = {}
     for l in need:
-        padded = _pad_lanes(pyr[l])
+        padded = _pad_lanes(pyr[l], l in fine)
         pairs[l] = (padded[:-1], padded[1:])
     return _lk_core(pairs, pts, levels, radius, iters)
 

@@ -151,3 +151,52 @@ def test_static_template_extraction_matches_dynamic(rng):
         jnp.asarray(origins, jnp.float32)[None], (2, len(origins), 2))
     b = np.asarray(_extract_patches(imgs, o, size))
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_strip_dma_kernel_matches_xla_gather(rng):
+    """The Pallas strip-DMA fetch (interpreter mode on CPU) returns
+    exactly the XLA row-block gather's strips for in-bounds indices —
+    the invariant _gather_strips relies on to keep TPU and CPU
+    tracker outputs identical."""
+    from rssync_tpu.frontend.tracking import (
+        LANE,
+        STRIP_ROWS,
+        _gather_blocks,
+        _gather_strips_pallas,
+        _pad_lanes,
+    )
+
+    H, W, B, N = 96, 300, 3, 17
+    imgs = _pad_lanes(
+        jnp.asarray(rng.integers(0, 255, (B, H, W)), jnp.uint8))
+    NB = imgs.shape[-1] // LANE
+    oyq = jnp.asarray(
+        rng.integers(0, (H - STRIP_ROWS) // 8 + 1, (B, N)), jnp.int32)
+    obx = jnp.asarray(rng.integers(0, NB - 1, (B, N)), jnp.int32)
+    a = np.asarray(_gather_strips_pallas(imgs, oyq, obx, interpret=True))
+    b = np.asarray(_gather_blocks(imgs, oyq * 8, obx, STRIP_ROWS))
+    assert a.dtype == np.uint8
+    np.testing.assert_array_equal(a.astype(np.float32), b)
+
+
+def test_strip_path_matches_legacy_gather_path(rng):
+    """Full-tracker equivalence: the strip-fetch search path (row
+    residual folded into taps) tracks identically to the legacy
+    per-row-clamped gather path on frames big enough for both."""
+    from rssync_tpu.frontend import tracking as T
+
+    H, W = 160, 384
+    frames = jnp.asarray(rng.integers(0, 255, (3, H, W)), jnp.uint8)
+    pts = np.asarray(
+        [[60.0, 40.0], [200.0, 80.0], [300.0, 120.0], [120.0, 130.0]])
+    base = np.asarray(T.lk_track_video(frames, pts))
+
+    orig = T._strip_path_ok
+    try:
+        T._strip_path_ok = lambda img: False
+        T._lk_track_video_jit.clear_cache()
+        legacy = np.asarray(T.lk_track_video(frames, pts))
+    finally:
+        T._strip_path_ok = orig
+        T._lk_track_video_jit.clear_cache()
+    np.testing.assert_allclose(base, legacy, atol=2e-3)
