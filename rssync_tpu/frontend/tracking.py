@@ -454,25 +454,70 @@ def _extract_patches(imgs: jnp.ndarray, pts: jnp.ndarray, size: int,
 def _extract_patches_static(imgs: jnp.ndarray, origins: np.ndarray,
                             size: int) -> jnp.ndarray:
     """(B, N, size, size) f32 patches at compile-time-constant INTEGER
-    origins — pure static slices, no gather and no interpolation
-    matmuls. The tracker's template origins are grid points minus an
-    integer offset, so on the fixed-grid path this replaces
-    `_extract_patches` exactly (integer origins make its bilinear taps
-    one-hot). Origins must be interior (true for the reference grid:
-    step >= 40 > radius + 1). Grouped by row so each distinct grid y
-    slices one (B, size, W) strip."""
+    origins — no gather and no per-iteration interpolation matmuls.
+    The tracker's template origins are grid points minus an integer
+    offset, so on the fixed-grid path this replaces `_extract_patches`
+    exactly (integer origins make its bilinear taps one-hot).
+
+    Rectangular grids (the reference grid: every distinct y paired
+    with the same x set) take the strip+matmul path: one contiguous
+    (B, size, W) row strip per distinct y, then a single constant
+    one-hot column-selector matmul lifts all x windows of all strips
+    at once (u8 pixels and one-hot weights are exact in bf16, f32
+    accumulation), and a static permutation restores point order.
+    Replaces N per-point slice+stack ops, whose op-dispatch overhead
+    dominated the template stage (~0.1 ms/pair, experiments/r3_cum2).
+    Irregular origin sets keep the per-point slice path. Out-of-range
+    columns/rows are edge-replicated like the dynamic path's clamp."""
     H, W = imgs.shape[-2], imgs.shape[-1]
     xs = origins[:, 0].astype(int)
     ys = origins[:, 1].astype(int)
-    out: list = [None] * len(xs)
-    for y in np.unique(ys):
-        y0, y1 = max(0, y), min(H, y + size)
+    uy, iy_of = np.unique(ys, return_inverse=True)
+    ux, ix_of = np.unique(xs, return_inverse=True)
+
+    def strip_for(y):
+        y0, y1 = max(0, min(y, H)), max(0, min(y + size, H))
         strip = imgs[:, y0:y1, :]
         if (y0 - y) or (y + size - y1):  # edge-replicate, like the
             strip = jnp.pad(             # dynamic path's row clamp
                 strip, ((0, 0), (y0 - y, y + size - y1), (0, 0)),
                 mode="edge",
             )
+        return strip
+
+    rectangular = len(xs) == len(uy) * len(ux) and len(
+        {(int(x), int(y)) for x, y in zip(xs, ys)}
+    ) == len(xs)
+    if rectangular:
+        strips = jnp.stack([strip_for(y) for y in uy], axis=1)
+        # (B, n_y, size, W) -> all x windows in one one-hot matmul
+        cols = np.clip(
+            ux[:, None] + np.arange(size)[None, :], 0, W - 1
+        ).ravel()  # (n_x*size,) selected source columns
+        sel = np.zeros((W, len(cols)), np.float32)
+        sel[cols, np.arange(len(cols))] = 1.0
+        if imgs.dtype == jnp.uint8:  # u8 exact in one bf16 MXU pass
+            lhs, rhs = strips.astype(jnp.bfloat16), jnp.asarray(
+                sel, jnp.bfloat16)
+            prec = None
+        else:  # float pixels: 6-pass HIGHEST keeps the select exact
+            lhs, rhs = strips.astype(jnp.float32), jnp.asarray(sel)
+            prec = jax.lax.Precision.HIGHEST
+        out = jnp.einsum(
+            "bysw,wq->bysq", lhs, rhs,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ).reshape(imgs.shape[0], len(uy), size, len(ux), size)
+        # (B, yi, r, xj, c) -> (B, N, r, c) in caller point order
+        flat = out.transpose(0, 1, 3, 2, 4).reshape(
+            imgs.shape[0], len(uy) * len(ux), size, size
+        )
+        perm = iy_of * len(ux) + ix_of  # point n -> (yi, xj) slot
+        return jnp.take(flat, jnp.asarray(perm), axis=1)
+
+    out: list = [None] * len(xs)
+    for y in uy:
+        strip = strip_for(y)
         for i in np.nonzero(ys == y)[0]:
             x = xs[i]
             x0, x1 = max(0, x), min(W, x + size)
