@@ -677,10 +677,12 @@ def _coarse_init(pyr: list[jnp.ndarray], lvl_vol: int, lvl_glob: int,
     """Per-point flow init (level-0 px) from the coarse stage.
 
     pyr: per-level (B+1-frame or pair) images; here each entry is a
-    tuple (a, b) of (B, h, w) f32 level images. pts: (N, 2) level-0
-    xy. Returns (B, N, 2) flow in level-0 px."""
+    tuple (a, b) of (B, h, w) level images (u8 or float). pts: (N, 2)
+    level-0 xy. Returns (B, N, 2) flow in level-0 px."""
     a_g, b_g = pyr[lvl_glob]
-    g = _global_shift(a_g, b_g, D_glob)  # (B, 2) @ lvl_glob px
+    g = _global_shift(
+        a_g.astype(jnp.float32), b_g.astype(jnp.float32), D_glob
+    )  # (B, 2) @ lvl_glob px
 
     a, b = pyr[lvl_vol]
     B, h, w = a.shape
@@ -701,13 +703,21 @@ def _coarse_init(pyr: list[jnp.ndarray], lvl_vol: int, lvl_glob: int,
 
     b0 = jax.vmap(unshift)(pb, gi)
 
-    # SAD cost volume over +-D with a (2*VOL_BOX+1)^2 box filter
+    # SAD cost volume over +-D with a (2*VOL_BOX+1)^2 box filter.
+    # u8 pixels run the volume in int16 — exact (|diff| <= 255, 5x5
+    # box sums <= 6375 < 2^15) at half the f32 HBM traffic
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        av = a.astype(jnp.int16)
+        b0v = b0.astype(jnp.int16)
+    else:
+        av = a.astype(jnp.float32)
+        b0v = b0.astype(jnp.float32)
     D = VOL_D
     K = 2 * D + 1
-    pb0 = jnp.pad(b0, ((0, 0), (D, D), (D, D)), mode="edge")
+    pb0 = jnp.pad(b0v, ((0, 0), (D, D), (D, D)), mode="edge")
     vol = jnp.stack(
         [
-            jnp.abs(a - pb0[:, dy : dy + h, dx : dx + w])
+            jnp.abs(av - pb0[:, dy : dy + h, dx : dx + w])
             for dy in range(K)
             for dx in range(K)
         ],
@@ -733,7 +743,9 @@ def _coarse_init(pyr: list[jnp.ndarray], lvl_vol: int, lvl_glob: int,
     ).astype(cost.dtype)
 
     def at(off):
-        return jnp.sum(cost * jnp.roll(onehot, off, axis=1), axis=1)
+        return jnp.sum(
+            cost * jnp.roll(onehot, off, axis=1), axis=1
+        ).astype(jnp.float32)
 
     c0 = at(0)
 
@@ -838,11 +850,7 @@ def _lk_core(pyr_pairs: dict[int, tuple[jnp.ndarray, jnp.ndarray]],
     if levels > entry + 1:
         lvl_glob = levels - 1
         lvl_vol = max(entry + 1, lvl_glob - 2)
-        pairs = {
-            lvl: (pyr_pairs[lvl][0].astype(jnp.float32),
-                  pyr_pairs[lvl][1].astype(jnp.float32))
-            for lvl in {lvl_glob, lvl_vol}
-        }
+        pairs = {lvl: pyr_pairs[lvl] for lvl in {lvl_glob, lvl_vol}}
         hg = pyr_pairs[lvl_glob][0].shape[-2:]
         D_glob = max(2, min(hg) // 3)
         d = _coarse_init(pairs, lvl_vol, lvl_glob, pts, D_glob)  # (B, N, 2)
