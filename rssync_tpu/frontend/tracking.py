@@ -78,6 +78,8 @@ STRIP_ROWS = 40
 #: for windows that overhang the bottom edge stay in-bounds, matching
 #: the legacy per-row clamp for overhangs up to this depth
 STRIP_PAD = 24
+#: in-flight async copies per strip-DMA program (pipeline depth)
+DMA_SLOTS = 2
 
 
 def auto_levels(height: int, width: int) -> int:
@@ -214,6 +216,44 @@ def _down_mat(n: int, src_lvl: int, dst_lvl: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+def _lvl_size(n: int, src_lvl: int, dst_lvl: int) -> int:
+    """Logical axis length after downsampling src_lvl -> dst_lvl."""
+    for lvl in range(src_lvl, dst_lvl):
+        n = n // 2 if lvl == 0 else (n - 1) // 2 + 1
+    return n
+
+
+@lru_cache(maxsize=None)
+def _down_mat_stored(n: int, src_lvl: int, dst_lvl: int,
+                     n_store: int, out_store: int) -> np.ndarray:
+    """`_down_mat` with storage padding folded into the weights: zero
+    columns for padded source entries (their values never contribute,
+    exactly like computing from the unpadded level) and a replicated
+    last row for edge-padded output entries (identical to
+    edge-replicating after the multiply). Lets the pyramid emit
+    already-padded levels with no separate jnp.pad passes."""
+    m = _down_mat(n, src_lvl, dst_lvl)
+    if n_store > n:
+        m = np.pad(m, ((0, 0), (0, n_store - n)))
+    if out_store > m.shape[0]:
+        m = np.concatenate(
+            [m, np.repeat(m[-1:], out_store - m.shape[0], axis=0)]
+        )
+    return m.astype(np.float32)
+
+
+def _stored_dims(h: int, w: int, kind: str | None) -> tuple[int, int]:
+    """Storage dims for a level: 'fine' = strip-DMA row pad + lane
+    pad (matches _pad_lanes(img, True)); 'lane' = lane pad only;
+    None = exact logical dims."""
+    wp = -(-w // LANE) * LANE
+    if kind == "fine":
+        return -(-(h + STRIP_PAD) // 8) * 8, wp
+    if kind == "lane":
+        return h, wp
+    return h, w
+
+
 def _needed_levels(levels: int, iters: int, radius: int) -> list[int]:
     """The pyramid levels the tracker schedule actually consumes:
     the fine-plan levels plus the two coarse-init levels. On the 2.7k
@@ -229,7 +269,9 @@ def _needed_levels(levels: int, iters: int, radius: int) -> list[int]:
 
 
 def build_pyramid_sparse(
-    img: jnp.ndarray, levels: int, need: list[int]
+    img: jnp.ndarray, levels: int, need: list[int],
+    logical_hw: tuple[int, int] | None = None,
+    pad_plan: dict[int, str | None] | None = None,
 ) -> dict[int, jnp.ndarray]:
     """Needed-levels-only pyramid: each consumed level is computed
     from the PREVIOUS consumed level by two composed banded-matrix
@@ -241,8 +283,16 @@ def build_pyramid_sparse(
     composed weights match the dense path's blur5/avgpool sampling
     exactly up to bf16 rounding of the band coefficients.
 
+    With `logical_hw` (the unpadded level-0 dims; `img` may then carry
+    storage padding) and `pad_plan` ({level: 'fine' | 'lane' | None},
+    see _stored_dims), every level is emitted with its target storage
+    padding folded into the downsample weights (_down_mat_stored) —
+    zero separate pad passes, values identical to pad-after-build.
+
     Returns {level: (B, h_l, w_l) array} in the input dtype."""
     store = img.dtype
+    H0, W0 = logical_hw if logical_hw is not None else img.shape[-2:]
+    pad_plan = pad_plan or {}
 
     def cast(x):
         if jnp.issubdtype(store, jnp.integer):
@@ -251,18 +301,29 @@ def build_pyramid_sparse(
 
     pyr: dict[int, jnp.ndarray] = {}
     prev_lvl, prev = 0, img
+    prev_hw = (H0, W0)
     for lvl in sorted(set(need)):
         if lvl == prev_lvl:
             pyr[lvl] = prev
         else:
-            h, w = prev.shape[-2], prev.shape[-1]
-            R = jnp.asarray(_down_mat(h, prev_lvl, lvl), jnp.bfloat16)
-            C = jnp.asarray(_down_mat(w, prev_lvl, lvl), jnp.bfloat16)
+            h, w = prev_hw
+            hd = _lvl_size(h, prev_lvl, lvl)
+            wd = _lvl_size(w, prev_lvl, lvl)
+            hs, ws = _stored_dims(hd, wd, pad_plan.get(lvl))
+            R = jnp.asarray(
+                _down_mat_stored(h, prev_lvl, lvl, prev.shape[-2], hs),
+                jnp.bfloat16,
+            )
+            C = jnp.asarray(
+                _down_mat_stored(w, prev_lvl, lvl, prev.shape[-1], ws),
+                jnp.bfloat16,
+            )
             x = jnp.einsum(
                 "rh,bhw,wc->brc", R, prev.astype(jnp.bfloat16), C.T,
                 preferred_element_type=jnp.float32,
             )
             pyr[lvl] = cast(x)
+            prev_hw = (hd, wd)
         prev_lvl, prev = lvl, pyr[lvl]
     return pyr
 
@@ -320,6 +381,7 @@ def _dma_strips_kernel(oyq_ref, obx_ref, img_ref, out_ref, sems):
     so the kernel never converts or rolls."""
     b = pl.program_id(0)
     n = out_ref.shape[0]
+    depth = DMA_SLOTS
 
     def get(i, slot):
         return pltpu.make_async_copy(
@@ -332,14 +394,15 @@ def _dma_strips_kernel(oyq_ref, obx_ref, img_ref, out_ref, sems):
             sems.at[slot],
         )
 
-    get(0, 0).start()
+    for i in range(min(depth, n)):
+        get(i, i).start()
 
     def body(i, _):
-        @pl.when(i + 1 < n)
+        @pl.when(i + depth < n)
         def _():
-            get(i + 1, (i + 1) % 2).start()
+            get(i + depth, (i + depth) % depth).start()
 
-        get(i, i % 2).wait()
+        get(i, i % depth).wait()
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -360,7 +423,7 @@ def _gather_strips_pallas(imgs, oyq, obx, interpret=False):
             lambda b, oyq, obx: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((DMA_SLOTS,))],
     )
     return pl.pallas_call(
         _dma_strips_kernel,
@@ -873,26 +936,32 @@ def _lk_pairs_core(imgs_a: jnp.ndarray, imgs_b: jnp.ndarray,
     -> (B, N, 2) tracked positions."""
     need = _needed_levels(levels, iters, radius)
     fine = {l for l, _i, _m, _r in _fine_plan(levels, iters, radius)}
-    pyr_a = build_pyramid_sparse(imgs_a, levels, need)
-    pyr_b = build_pyramid_sparse(imgs_b, levels, need)
-    pairs = {
-        l: (_pad_lanes(pyr_a[l], l in fine), _pad_lanes(pyr_b[l], l in fine))
-        for l in need
-    }
+    plan = {l: "fine" if l in fine else "lane" for l in need}
+    hw = imgs_a.shape[-2:]
+    imgs_a = _pad_lanes(imgs_a, 0 in fine)
+    imgs_b = _pad_lanes(imgs_b, 0 in fine)
+    pyr_a = build_pyramid_sparse(imgs_a, levels, need, hw, plan)
+    pyr_b = build_pyramid_sparse(imgs_b, levels, need, hw, plan)
+    pairs = {l: (pyr_a[l], pyr_b[l]) for l in need}
     return _lk_core(pairs, pts, levels, radius, iters)
 
 
 def _lk_video_core(frames: jnp.ndarray, pts: jnp.ndarray, levels: int,
-                   radius: int, iters: int) -> jnp.ndarray:
+                   radius: int, iters: int,
+                   logical_hw: tuple[int, int] | None = None) -> jnp.ndarray:
     """Track consecutive pairs of a frame block with ONE shared
-    pyramid per frame (each interior frame serves two pairs)."""
+    pyramid per frame (each interior frame serves two pairs).
+    logical_hw: pass the unpadded (H, W) when `frames` already carries
+    the level-0 storage padding (the chunked path pads once for the
+    whole clip); otherwise frames are padded here."""
     need = _needed_levels(levels, iters, radius)
     fine = {l for l, _i, _m, _r in _fine_plan(levels, iters, radius)}
-    pyr = build_pyramid_sparse(frames, levels, need)
-    pairs = {}
-    for l in need:
-        padded = _pad_lanes(pyr[l], l in fine)
-        pairs[l] = (padded[:-1], padded[1:])
+    plan = {l: "fine" if l in fine else "lane" for l in need}
+    if logical_hw is None:
+        logical_hw = frames.shape[-2:]
+        frames = _pad_lanes(frames, 0 in fine)
+    pyr = build_pyramid_sparse(frames, levels, need, logical_hw, plan)
+    pairs = {l: (pyr[l][:-1], pyr[l][1:]) for l in need}
     return _lk_core(pairs, pts, levels, radius, iters)
 
 
@@ -1009,9 +1078,17 @@ def _lk_track_video_chunked_jit(frames, pts_static, chunk, levels, radius,
     starts = jnp.arange(n_chunks) * chunk
     pts = np.asarray(pts_static, np.float32)
 
+    # level-0 storage padding once for the whole clip; per-chunk level
+    # padding is folded into the pyramid weights (_down_mat_stored)
+    fine0 = 0 in {l for l, *_ in _fine_plan(levels, iters, radius)}
+    frames_p = _pad_lanes(frames, fine0)
+    Hp, Wp = frames_p.shape[-2:]
+
     def one(start):
-        blk = jax.lax.dynamic_slice(frames, (start, 0, 0), (chunk + 1, H, W))
-        return _lk_video_core(blk, pts, levels, radius, iters)
+        blk = jax.lax.dynamic_slice(
+            frames_p, (start, 0, 0), (chunk + 1, Hp, Wp))
+        return _lk_video_core(blk, pts, levels, radius, iters,
+                              logical_hw=(H, W))
 
     out = jax.lax.map(one, starts)  # (n_chunks, chunk, N, 2)
     return out.reshape(T - 1, pts.shape[0], 2)
