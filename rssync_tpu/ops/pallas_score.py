@@ -34,13 +34,19 @@ from jax.experimental.pallas import tpu as pltpu
 #: bisection rounds (matches core/ransac.py)
 BISECT_ROUNDS = 14
 
-#: frames per program — bounds the VMEM-resident residual tile
-#: (F_TILE x I x N f32 twice); Sync's 200-hypothesis GuessMotion at
-#: F=60, N=256 would need 23 MB un-tiled (> 16 MB VMEM). Frames (not
-#: hypotheses) are the tiled axis because Mosaic requires block LAST
-#: dims to be full or 128-divisible, and F sits second-minor
-#: everywhere.
-F_TILE = 16
+#: VMEM budget for the resident residual tile (~3 live (ft, I, N) f32
+#: buffers: res, res2, quantized compare copy). The frame-tile size
+#: adapts to it per call: PreSync's I=20 fits a whole 60-frame window
+#: in one program (4x fewer programs — the stage was bound on
+#: per-program setup+DMA overhead, not compute), while Sync's I=200
+#: GuessMotion still tiles. Frames (not hypotheses) are the tiled
+#: axis because Mosaic requires block LAST dims to be full or
+#: 128-divisible, and F sits second-minor everywhere.
+VMEM_BUDGET = 24_000_000
+
+
+def _f_tile(F: int, I: int, N: int) -> int:
+    return max(8, min(F, VMEM_BUDGET // (I * N * 4 * 3)))
 
 
 def _score_kernel(nP_ref, v_ref, cnt_ref, med_ref):
@@ -82,20 +88,21 @@ def _score_kernel(nP_ref, v_ref, cnt_ref, med_ref):
     med_ref[...] = hi
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "f_tile"))
 def score_quartile_pallas(
     nP: jnp.ndarray, v: jnp.ndarray, counts: jnp.ndarray,
-    interpret: bool = False,
+    interpret: bool = False, f_tile: int | None = None,
 ) -> jnp.ndarray:
     """Quartile bracket of squared residuals per hypothesis.
 
     nP: (3, F, N) row-normalized residual rows; v: (3, F, I) unit
     hypothesis directions; counts: (F,) int32. Returns (F, I) f32.
     vmap-able (leading batch axes become Pallas grid dimensions).
+    f_tile overrides the VMEM-budgeted frame tile (tests).
     """
     F, N = nP.shape[1], nP.shape[2]
     Iq = v.shape[2]
-    ft = min(F, F_TILE)
+    ft = f_tile or _f_tile(F, Iq, N)
     cnt = counts.astype(jnp.int32).reshape(F, 1)
     return pl.pallas_call(
         _score_kernel,

@@ -37,10 +37,13 @@ def test_kernel_matches_xla_scoring(rng):
 
 
 def test_kernel_matches_xla_scoring_tiled(rng):
-    """F > F_TILE (with a partial trailing tile) x 200 hypotheses
-    exercises the frame-axis grid (Sync's GuessMotion path)."""
+    """F larger than the frame tile (partial trailing tile) x 200
+    hypotheses exercises the frame-axis grid (Sync's GuessMotion
+    path; f_tile=16 forces partial trailing tiles like the budgeted
+    tile does at Sync's real shapes)."""
     _, nP, v, counts = _problem(rng, F=37, N=24, I=200)
-    a = np.asarray(score_quartile_pallas(nP, v, counts, interpret=True))
+    a = np.asarray(score_quartile_pallas(
+        nP, v, counts, interpret=True, f_tile=16))
     b = np.asarray(score_quartile_xla(nP, v, counts))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=0)
 
