@@ -34,19 +34,26 @@ from jax.experimental.pallas import tpu as pltpu
 #: bisection rounds (matches core/ransac.py)
 BISECT_ROUNDS = 14
 
-#: VMEM budget for the resident residual tile (~3 live (ft, I, N) f32
-#: buffers: res, res2, quantized compare copy). The frame-tile size
-#: adapts to it per call: PreSync's I=20 fits a whole 60-frame window
-#: in one program (4x fewer programs — the stage was bound on
-#: per-program setup+DMA overhead, not compute), while Sync's I=200
-#: GuessMotion still tiles. Frames (not hypotheses) are the tiled
-#: axis because Mosaic requires block LAST dims to be full or
-#: 128-divisible, and F sits second-minor everywhere.
-VMEM_BUDGET = 24_000_000
+#: VMEM budget for the resident residual tile. Mosaic's scoped-vmem
+#: limit is 16 MB and the kernel's stack footprint measures ~4 live
+#: (ft, I, N) f32 buffers (res, res2, quantized copy, compare temp —
+#: a 23.35 MB scoped alloc at ft=60, I=200, N=130), so budget 11 MB
+#: over 4 buffers. The frame-tile size adapts per call: PreSync's
+#: I=20 fits a whole 60-frame window in one program (4x fewer
+#: programs — the stage was bound on per-program overhead, not
+#: compute), while Sync's I=200 GuessMotion still tiles. Frames (not
+#: hypotheses) are the tiled axis because Mosaic requires block LAST
+#: dims to be full or 128-divisible, and F sits second-minor
+#: everywhere.
+VMEM_BUDGET = 11_000_000
 
 
 def _f_tile(F: int, I: int, N: int) -> int:
-    return max(8, min(F, VMEM_BUDGET // (I * N * 4 * 3)))
+    ft = VMEM_BUDGET // (I * N * 4 * 4)
+    if ft >= F:
+        return F
+    # Mosaic: a non-full second-to-last block dim must be 8-divisible
+    return max(8, ft - ft % 8)
 
 
 def _score_kernel(nP_ref, v_ref, cnt_ref, med_ref):
