@@ -442,14 +442,18 @@ def _on_tpu() -> bool:
         return False
 
 
-def _strip_path_ok(img: jnp.ndarray) -> bool:
+def _strip_path_ok(img: jnp.ndarray, n_pts: int) -> bool:
     """Static predicate: the strip-DMA search fetch handles this level
-    (big enough for whole strips, DMA-friendly dtype). Small frames and
-    exotic dtypes keep the legacy per-row-clamped gather."""
+    (big enough for whole strips, DMA-friendly dtype, and a per-pair
+    strip block that fits Mosaic's 16 MB scoped-VMEM limit). Small
+    frames, exotic dtypes, and very dense grids keep the legacy
+    per-row-clamped gather."""
+    block = n_pts * STRIP_ROWS * 2 * LANE * jnp.dtype(img.dtype).itemsize
     return (
         img.shape[-2] >= STRIP_ROWS
         and img.shape[-1] >= 2 * LANE
         and img.dtype in (jnp.uint8, jnp.float32)
+        and block <= 8_000_000
     )
 
 
@@ -654,7 +658,7 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
     origin = anchor - (radius + M)
     oy = origin[..., 1].astype(jnp.int32)
     ox = origin[..., 0].astype(jnp.int32)
-    if _strip_path_ok(img_b) and S <= STRIP_ROWS - 8:
+    if _strip_path_ok(img_b, pts_level.shape[-2]) and S <= STRIP_ROWS - 8:
         # strip fetch: top row quantized down to the 8-row DMA tile,
         # strip clamped fully in-bounds (fine levels carry STRIP_PAD
         # edge-replicated bottom rows, so sane windows never clamp);

@@ -193,7 +193,7 @@ def test_strip_path_matches_legacy_gather_path(rng):
 
     orig = T._strip_path_ok
     try:
-        T._strip_path_ok = lambda img: False
+        T._strip_path_ok = lambda img, n_pts: False
         T._lk_track_video_jit.clear_cache()
         legacy = np.asarray(T.lk_track_video(frames, pts))
     finally:
