@@ -37,15 +37,18 @@ BISECT_ROUNDS = 14
 #: VMEM budget for the resident residual tile. Mosaic's scoped-vmem
 #: limit is 16 MB and the kernel's stack footprint measures ~4 live
 #: (ft, I, N) f32 buffers (res, res2, quantized copy, compare temp —
-#: a 23.35 MB scoped alloc at ft=60, I=200, N=130), so budget 11 MB
-#: over 4 buffers. The frame-tile size adapts per call: PreSync's
+#: a 23.35 MB scoped alloc at ft=60, I=200, N=130), so budget 13.5 MB
+#: over 4 buffers — the largest value that keeps every measured
+#: footprint under the limit (Sync N=256 lands on ft=16, scoped
+#: ~12.1 MB, the long-proven round-3 configuration; N=130 on ft=32,
+#: ~12.5 MB). The frame-tile size adapts per call: PreSync's
 #: I=20 fits a whole 60-frame window in one program (4x fewer
 #: programs — the stage was bound on per-program overhead, not
 #: compute), while Sync's I=200 GuessMotion still tiles. Frames (not
 #: hypotheses) are the tiled axis because Mosaic requires block LAST
 #: dims to be full or 128-divisible, and F sits second-minor
 #: everywhere.
-VMEM_BUDGET = 11_000_000
+VMEM_BUDGET = 13_500_000
 
 
 def _f_tile(F: int, I: int, N: int) -> int:
