@@ -37,11 +37,11 @@ BISECT_ROUNDS = 14
 #: VMEM budget for the resident residual tile. Mosaic's scoped-vmem
 #: limit is 16 MB and the kernel's stack footprint measures ~4 live
 #: (ft, I, N) f32 buffers (res, res2, quantized copy, compare temp —
-#: a 23.35 MB scoped alloc at ft=60, I=200, N=130), so budget 13.5 MB
-#: over 4 buffers — the largest value that keeps every measured
-#: footprint under the limit (Sync N=256 lands on ft=16, scoped
-#: ~12.1 MB, the long-proven round-3 configuration; N=130 on ft=32,
-#: ~12.5 MB). The frame-tile size adapts per call: PreSync's
+#: 23.35 MB scoped at ft=60 / 19.02 MB at ft=32, I=200, N=130 —
+#: note the feature axis is LANE-PADDED inside the kernel, so the
+#: footprint scales with ceil(N/128)*128, not N). Budget 13.5 MB over
+#: 4 lane-padded buffers: Sync lands on the long-proven ft=16 for
+#: both N=130 and N=256 (scoped ~12 MB, under the 16 MB limit). The frame-tile size adapts per call: PreSync's
 #: I=20 fits a whole 60-frame window in one program (4x fewer
 #: programs — the stage was bound on per-program overhead, not
 #: compute), while Sync's I=200 GuessMotion still tiles. Frames (not
@@ -52,7 +52,8 @@ VMEM_BUDGET = 13_500_000
 
 
 def _f_tile(F: int, I: int, N: int) -> int:
-    ft = VMEM_BUDGET // (I * N * 4 * 4)
+    n_eff = -(-N // 128) * 128  # Mosaic lane padding
+    ft = VMEM_BUDGET // (I * n_eff * 4 * 4)
     if ft >= F:
         return F
     # Mosaic: a non-full second-to-last block dim must be 8-divisible
