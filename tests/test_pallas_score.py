@@ -90,3 +90,22 @@ def test_window_guesser_pair_draws_match(rng):
     r0, r1 = jax.vmap(lambda k, c: sample_pairs(k, 20, c))(keys, counts)
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r0_ref))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r1_ref))
+
+
+def test_frame_tile_known_shapes():
+    """Pin the VMEM-budgeted tile at the production shapes: PreSync
+    (I=20) must run whole 60-frame windows in one program; Sync
+    (I=200) must land on the proven ft=16 for BOTH N=130 and N=256
+    (the footprint scales with the lane-padded N — ft=32 at N=130
+    OOM'd the 16 MB scoped-VMEM limit at 19.02 MB, caught by the
+    bench). Non-full tiles must be 8-divisible (Mosaic block rule)."""
+    from rssync_tpu.ops.pallas_score import _f_tile
+
+    assert _f_tile(60, 20, 256) == 60   # PreSync: whole window
+    assert _f_tile(60, 200, 130) == 16  # Sync, bench feature count
+    assert _f_tile(60, 200, 256) == 16  # Sync, padded feature count
+    for F in (37, 60, 61):
+        for I in (20, 200, 400):
+            ft = _f_tile(F, I, 256)
+            assert ft == F or ft % 8 == 0
+            assert 8 <= ft <= F or ft == F
