@@ -200,3 +200,32 @@ def test_strip_path_matches_legacy_gather_path(rng):
         T._strip_path_ok = orig
         T._lk_track_video_jit.clear_cache()
     np.testing.assert_allclose(base, legacy, atol=2e-3)
+
+
+def test_padded_pyramid_matches_pad_after_build(rng):
+    """build_pyramid_sparse with storage padding folded into the
+    weights (_down_mat_stored) must equal building unpadded and
+    edge-padding afterwards — exactly, for u8 (one-hot/banded weights
+    and u8 pixels are exact in bf16)."""
+    from rssync_tpu.frontend.tracking import (
+        _lvl_size,
+        _pad_lanes,
+        build_pyramid_sparse,
+    )
+
+    H, W, levels = 250, 333, 6
+    need = [0, 2, 4, 5]
+    fine = {0, 2}
+    imgs = jnp.asarray(rng.integers(0, 255, (2, H, W)), jnp.uint8)
+
+    plain = build_pyramid_sparse(imgs, levels, need)
+    plan = {l: ("fine" if l in fine else "lane") for l in need}
+    padded_src = _pad_lanes(imgs, True)
+    folded = build_pyramid_sparse(padded_src, levels, need, (H, W), plan)
+
+    for l in need:
+        want = _pad_lanes(plain[l], l in fine)
+        got = folded[l]
+        assert got.shape == want.shape, l
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert got.shape[-2] >= _lvl_size(H, 0, l)
