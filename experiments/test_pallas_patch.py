@@ -4,7 +4,9 @@
 import numpy as np
 import jax.numpy as jnp
 
-from rssync_tpu.ops.pallas_patch import extract_patches
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from pallas_patch import extract_patches
 
 
 def test_pallas_interpret_matches_xla_interior(rng):

@@ -158,7 +158,11 @@ def guess_motion_window(
     v = v * vinv[None]
 
     if impl is None:
-        impl = "pallas" if PSC.on_tpu() else "xla"
+        impl = (
+            "pallas"
+            if PSC.on_tpu() and PSC.fits_vmem(F, iters, N)
+            else "xla"
+        )
     if impl == "pallas":
         med = PSC.score_quartile_pallas(nP, v, counts)
     else:

@@ -84,6 +84,8 @@ def load_gyro(path: str, orient: str | None = None,
         data = parse_gyroflow_json(path)
     elif ext in (".mp4", ".mov", ".360"):
         data = parse_mp4(path)
+    elif ext in (".bbl", ".bfl"):
+        data = parse_blackbox_bbl(path)
     elif ext == ".csv":
         # blackbox_decode CSVs self-identify via their gyroADC columns
         with open(path, "r") as f:
@@ -96,6 +98,8 @@ def load_gyro(path: str, orient: str | None = None,
             head = f.read(64)
         if len(head) >= 8 and head[4:8] in (b"ftyp", b"moov", b"mdat"):
             data = parse_mp4(path)
+        elif head.startswith(b"H Product:Blackbox"):
+            data = parse_blackbox_bbl(path)
         elif head.lstrip()[:1] in (b"{", b"["):
             data = parse_gyroflow_json(path)
         else:
@@ -562,6 +566,308 @@ def parse_mp4(path: str) -> GyroData:
 # Betaflight/INAV blackbox CSV (the thesis' FPV-drone use case) —
 # `blackbox_decode --csv` output: header row with `time` (us) and
 # `gyroADC[0..2]` (deg/s) columns.
+
+
+def parse_blackbox_bbl(path: str) -> GyroData:
+    """Binary Betaflight/INAV blackbox log (.bbl/.bfl): ASCII `H ...`
+    header lines defining per-frame field tables, then binary I
+    (intra) / P (predicted) frames with variable-byte encodings.
+
+    Implements the published blackbox data-format v2 subset needed for
+    `time` + `gyroADC[0..2]`: encodings SIGNED_VB(0), UNSIGNED_VB(1),
+    NEG_14BIT(3), TAG8_8SVB(6), TAG2_3S32(7), TAG8_4S16(8), NULL(9)
+    and predictors ZERO(0), PREVIOUS(1), STRAIGHT_LINE(2), AVERAGE_2(3),
+    INCREMENT(6). S (slow) frames are decoded per their own field table
+    so the stream position stays exact; E (event) frames handle sync-
+    beep(0), logging-resume(30) and end-of-log(255); any other frame
+    type or event terminates the decode at the last good frame (the
+    same fail-soft behavior as blackbox_decode's resync-less core).
+
+    Unit convention: the `gyro_scale` header (hex-float or decimal) is
+    radians per microsecond per raw LSB, so rad/s = raw * scale * 1e6;
+    absent it, raw is assumed 16.4 LSB/(deg/s) (MPU 2000 dps). No real
+    .bbl exists in this environment — fixture-validated only (see
+    native/gpmf/VALIDATION.md). Mirrors
+    native/gpmf/gpmf_parser.cpp::parse_blackbox_bbl bit for bit.
+    Replaces the reference crate's blackbox support
+    (ref: rust/telemetry-parser-cpp/src/lib.rs:29-37).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    return _decode_bbl(data)
+
+
+def _bbl_float(s: str) -> float:
+    s = s.strip()
+    if s.lower().startswith("0x"):
+        return float(
+            np.frombuffer(
+                struct.pack("<I", int(s, 16)), dtype=np.float32
+            )[0]
+        )
+    return float(s)
+
+
+class _BblStream:
+    """Byte cursor with the blackbox primitive decoders."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.buf)
+
+    def byte(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def uvb(self) -> int:
+        v, shift = 0, 0
+        while True:
+            b = self.byte()
+            v |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return v
+            shift += 7
+            if shift > 42:
+                raise ValueError("runaway uvb")
+
+    def svb(self) -> int:
+        v = self.uvb()
+        return (v >> 1) ^ -(v & 1)  # zigzag
+
+
+def _sx(v: int, bits: int) -> int:
+    m = 1 << (bits - 1)
+    return (v ^ m) - m
+
+
+def _bbl_header_tables(data: bytes):
+    """Parse `H name:value` lines; return (tables, scale, body_pos).
+    tables[frame_char] = dict(names, predictors, encodings)."""
+    tables: dict = {}
+    scale = None
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 2] == b"H ":
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            eol = n
+        line = data[pos + 2 : eol].decode("latin-1").rstrip("\r")
+        pos = eol + 1
+        if ":" not in line:
+            continue
+        name, val = line.split(":", 1)
+        name = name.strip()
+        if name.startswith("Field ") and len(name.split()) >= 3:
+            _, fc, what = name.split(None, 2)
+            t = tables.setdefault(
+                fc, {"name": [], "predictor": [], "encoding": []}
+            )
+            if what in ("name",):
+                t["name"] = [c.strip() for c in val.split(",")]
+            elif what in ("predictor", "encoding"):
+                t[what] = [int(c) for c in val.split(",")]
+        elif name in ("gyro_scale", "gyro.scale"):
+            scale = _bbl_float(val)
+    return tables, scale, pos
+
+
+def _decode_bbl(data: bytes) -> GyroData:
+    tables, scale, pos = _bbl_header_tables(data)
+    it = tables.get("I")
+    if not it or not it["name"]:
+        raise SyncPanic("no blackbox I-frame field table")
+    names = it["name"]
+    pt = tables.get("P") or {"name": names, "predictor": [], "encoding": []}
+    st = tables.get("S")
+    try:
+        i_time = names.index("time")
+        i_gyro = [names.index(f"gyroADC[{i}]") for i in range(3)]
+    except ValueError:
+        raise SyncPanic("blackbox log lacks time/gyroADC fields")
+
+    nf = len(names)
+    ip = (it["predictor"] + [0] * nf)[:nf]
+    ie = (it["encoding"] + [1] * nf)[:nf]
+    pp = (pt["predictor"] + [0] * nf)[:nf]
+    pe = (pt["encoding"] + [0] * nf)[:nf]
+
+    def decode_fields(s: _BblStream, enc: list[int], nf_: int) -> list[int]:
+        """Decode one frame's raw (pre-predictor) values."""
+        vals = [0] * nf_
+        i = 0
+        while i < nf_:
+            e = enc[i]
+            if e == 0:
+                vals[i] = s.svb()
+                i += 1
+            elif e == 1:
+                vals[i] = s.uvb()
+                i += 1
+            elif e == 3:
+                vals[i] = -_sx(s.uvb() & 0x3FFF, 14)
+                i += 1
+            elif e == 6:  # TAG8_8SVB over the run of same-encoded fields
+                j = i
+                while j < nf_ and enc[j] == 6 and j - i < 8:
+                    j += 1
+                cnt = j - i
+                if cnt == 1:
+                    vals[i] = s.svb()
+                else:
+                    hdr = s.byte()
+                    for k in range(cnt):
+                        vals[i + k] = s.svb() if (hdr >> k) & 1 else 0
+                i = j
+            elif e == 7:  # TAG2_3S32: groups of 3
+                lead = s.byte()
+                tag = lead >> 6
+                g = [0, 0, 0]
+                if tag == 0:
+                    g = [
+                        _sx((lead >> 4) & 3, 2),
+                        _sx((lead >> 2) & 3, 2),
+                        _sx(lead & 3, 2),
+                    ]
+                elif tag == 1:
+                    b = s.byte()
+                    g = [_sx(lead & 0xF, 4), _sx(b >> 4, 4), _sx(b & 0xF, 4)]
+                elif tag == 2:
+                    g[0] = _sx(lead & 0x3F, 6)
+                    g[1] = _sx(s.byte() & 0x3F, 6)
+                    g[2] = _sx(s.byte() & 0x3F, 6)
+                else:
+                    for k in range(3):
+                        sel = (lead >> (2 * k)) & 3
+                        nb = sel + 1  # 1/2/3/4 bytes, little-endian
+                        raw = 0
+                        for bi in range(nb):
+                            raw |= s.byte() << (8 * bi)
+                        g[k] = _sx(raw, 8 * nb)
+                for k in range(3):
+                    if i + k < nf_:
+                        vals[i + k] = g[k]
+                i += 3
+            elif e == 8:  # TAG8_4S16 v2: groups of 4, nibble-packed
+                sel = s.byte()
+                nib: list[int] = []
+
+                def nibble() -> int:
+                    if not nib:
+                        b = s.byte()
+                        nib.append(b & 0xF)
+                        return b >> 4
+                    return nib.pop()
+
+                g4 = [0, 0, 0, 0]
+                for k in range(4):
+                    f = (sel >> (2 * k)) & 3
+                    if f == 0:
+                        g4[k] = 0
+                    elif f == 1:
+                        g4[k] = _sx(nibble(), 4)
+                    elif f == 2:
+                        g4[k] = _sx(
+                            (nibble() << 4) | nibble(), 8
+                        )
+                    else:
+                        hi = (nibble() << 4) | nibble()
+                        lo = (nibble() << 4) | nibble()
+                        g4[k] = _sx((hi << 8) | lo, 16)
+                for k in range(4):
+                    if i + k < nf_:
+                        vals[i + k] = g4[k]
+                i += 4
+            elif e == 9:
+                vals[i] = 0
+                i += 1
+            else:
+                raise ValueError(f"unsupported blackbox encoding {e}")
+        return vals
+
+    s = _BblStream(data, pos)
+    prev: list[int] | None = None
+    prev2: list[int] | None = None
+    rows: list[tuple[int, int, int, int]] = []
+
+    if st and st["name"]:
+        ns = len(st["name"])
+        se = (st["encoding"] + [0] * ns)[:ns]
+    else:
+        ns, se = 0, []
+
+    while not s.eof():
+        try:
+            fc = chr(s.byte())
+            if fc == "I":
+                raw = decode_fields(s, ie, nf)
+                cur = [0] * nf
+                for i in range(nf):
+                    p = ip[i]
+                    if p == 0:
+                        cur[i] = raw[i]
+                    elif p == 6:
+                        cur[i] = raw[i]  # increment meaningless intra
+                    else:
+                        cur[i] = raw[i]  # I-frames are self-contained
+                prev2 = prev = cur
+            elif fc == "P":
+                if prev is None:
+                    break  # P before any I: unsynced stream
+                raw = decode_fields(s, pe, nf)
+                cur = [0] * nf
+                for i in range(nf):
+                    p = pp[i]
+                    if p == 0:
+                        base = 0
+                    elif p == 1:
+                        base = prev[i]
+                    elif p == 2:
+                        base = 2 * prev[i] - (prev2 or prev)[i]
+                    elif p == 3:
+                        base = (prev[i] + (prev2 or prev)[i]) // 2
+                    elif p == 6:
+                        base = prev[i] + 1
+                    else:
+                        # predictors outside the subset (minthrottle,
+                        # motor[0], ...) only affect fields we never
+                        # read; stream position stays exact either way
+                        base = prev[i]
+                    cur[i] = base + raw[i]
+                prev2, prev = prev, cur
+            elif fc == "S" and ns:
+                decode_fields(s, se, ns)
+                continue
+            elif fc == "E":
+                ev = s.byte()
+                if ev == 255:
+                    break  # end of log
+                elif ev == 0:
+                    s.uvb()  # sync beep time
+                    continue
+                elif ev == 30:
+                    s.uvb()
+                    s.uvb()  # logging resume: iteration, time
+                    continue
+                else:
+                    break  # unknown event: stop at last good frame
+            else:
+                break  # unknown frame type / desync
+        except (IndexError, ValueError):
+            break  # truncated/corrupt tail: keep decoded prefix
+        rows.append((prev[i_time], *(prev[i] for i in i_gyro)))
+
+    if not rows:
+        raise SyncPanic("no decodable blackbox frames")
+    arr = np.asarray(rows, np.float64)
+    if scale is not None:
+        g = arr[:, 1:4] * (scale * 1e6)
+    else:
+        g = np.deg2rad(arr[:, 1:4] / 16.4)
+    return GyroData(timestamps=arr[:, 0] * 1e-6, gyro=g)
 
 
 def parse_blackbox_csv(path: str) -> GyroData:

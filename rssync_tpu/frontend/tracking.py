@@ -376,7 +376,7 @@ def _dma_strips_kernel(oyq_ref, obx_ref, img_ref, out_ref, sems):
     (STRIP_ROWS, 256) strip from the HBM-resident image into the VMEM
     output block. Row starts are 8*oyq (provably tile-aligned), column
     starts 128*obx (lane-aligned) — the two Mosaic DMA constraints
-    that sank round 2's per-patch kernel (ops/pallas_patch.py); the
+    that sank round 2's per-patch kernel (experiments/pallas_patch.py); the
     residual offsets are resolved by the caller's interpolation taps,
     so the kernel never converts or rolls."""
     b = pl.program_id(0)
@@ -398,11 +398,16 @@ def _dma_strips_kernel(oyq_ref, obx_ref, img_ref, out_ref, sems):
         get(i, i).start()
 
     def body(i, _):
+        # Conventional double-buffer order: retire copy i's semaphore
+        # slot BEFORE issuing copy i+depth into that same slot, so each
+        # wait is satisfied by its own copy's completion (copies
+        # i+1..i+depth-1 stay in flight, so pipelining is preserved).
+        get(i, i % depth).wait()
+
         @pl.when(i + depth < n)
         def _():
             get(i + depth, (i + depth) % depth).start()
 
-        get(i, i % depth).wait()
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -472,8 +477,14 @@ def _tap2(pos: jnp.ndarray, size: int, width: int,
           dtype=jnp.float32) -> jnp.ndarray:
     """2-tap linear-interpolation matrix: T[..., i, c] = max(0,
     1-|pos+i-c|), so T @ v samples v at fractional positions pos+i.
-    pos: (...,) f32. Returns (..., size, width)."""
+    Positions are clamped to [0, width-1], so out-of-range samples
+    edge-replicate the buffer (identical weights for in-range
+    positions) — this is what lets the strip path's roff/rem go
+    negative for windows overhanging the frame top/left and still
+    match the legacy per-row-clamp gather. pos: (...,) f32. Returns
+    (..., size, width)."""
     p = pos[..., None, None] + jnp.arange(size, dtype=jnp.float32)[:, None]
+    p = jnp.clip(p, 0.0, float(width - 1))
     c = jnp.arange(width, dtype=jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(p - c)).astype(dtype)
 
@@ -510,7 +521,9 @@ def _extract_patches(imgs: jnp.ndarray, pts: jnp.ndarray, size: int,
     frac = (pts - base).astype(jnp.float32)
     oy = base[..., 1].astype(jnp.int32)
     ox = base[..., 0].astype(jnp.int32)
-    obx = ox // LANE
+    # block clamp + possibly-negative remainder: left-edge overhangs
+    # edge-replicate through the clamped taps (see _lk_level)
+    obx = jnp.clip(ox // LANE, 0, max(imgs.shape[-1] // LANE - 2, 0))
     rem = (ox - obx * LANE).astype(jnp.float32)
     wide = _gather_blocks(imgs, oy, obx, size + 1)
     return _sample_windows(
@@ -661,23 +674,32 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
     if _strip_path_ok(img_b, pts_level.shape[-2]) and S <= STRIP_ROWS - 8:
         # strip fetch: top row quantized down to the 8-row DMA tile,
         # strip clamped fully in-bounds (fine levels carry STRIP_PAD
-        # edge-replicated bottom rows, so sane windows never clamp);
-        # the row residual rides the sampling taps below
+        # edge-replicated bottom rows, so sane windows never clamp at
+        # the bottom); the row residual rides the sampling taps below.
+        # roff/rem may go NEGATIVE for windows overhanging the frame
+        # top/left — _tap2 clamps sample positions to the buffer, which
+        # edge-replicates exactly like the legacy per-row-clamp gather
+        # (ADVICE r3: the old lower clip shifted the whole window
+        # in-bounds, diverging up to ~1.9 px from the legacy path for
+        # points near the frame top).
         Hp = img_b.shape[1]
         NB = img_b.shape[2] // LANE
         oyq = jnp.clip(oy // 8, 0, (Hp - STRIP_ROWS) // 8)
         obx = jnp.clip(ox // LANE, 0, NB - 2)
-        roff = jnp.clip(
-            (oy - oyq * 8).astype(jnp.float32), 0.0,
-            float(STRIP_ROWS - S),
+        roff = jnp.minimum(
+            (oy - oyq * 8).astype(jnp.float32), float(STRIP_ROWS - S)
         )
-        rem = jnp.clip(
-            (ox - obx * LANE).astype(jnp.float32), 0.0,
-            float(2 * LANE - Sc),
+        rem = jnp.minimum(
+            (ox - obx * LANE).astype(jnp.float32), float(2 * LANE - Sc)
         )
         wide = _gather_strips(img_b, oyq, obx)  # (B, N, 40, 256)
     else:
-        obx = ox // LANE
+        # clamp the block (not the remainder): negative rem positions
+        # edge-replicate via the clamped taps, matching the strip path
+        # (an unclamped negative obx would make _gather_blocks fetch
+        # block 0 twice and alias columns)
+        NB_l = img_b.shape[2] // LANE
+        obx = jnp.clip(ox // LANE, 0, max(NB_l - 2, 0))
         rem = (ox - obx * LANE).astype(jnp.float32)  # integer-valued
         roff = jnp.zeros_like(rem)
         wide = _gather_blocks(img_b, oy, obx, S)  # (B, N, S, 256)

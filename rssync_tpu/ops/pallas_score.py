@@ -51,13 +51,30 @@ BISECT_ROUNDS = 14
 VMEM_BUDGET = 13_500_000
 
 
+def fits_vmem(F: int, I: int, N: int) -> bool:
+    """True iff even the minimum legal frame tile (8, or F if smaller)
+    stays inside VMEM_BUDGET — i.e. the kernel can compile without
+    blowing Mosaic's 16 MB scoped-VMEM limit."""
+    n_eff = -(-N // 128) * 128  # Mosaic lane padding
+    return min(F, 8) * I * n_eff * 4 * 4 <= VMEM_BUDGET
+
+
 def _f_tile(F: int, I: int, N: int) -> int:
     n_eff = -(-N // 128) * 128  # Mosaic lane padding
     ft = VMEM_BUDGET // (I * n_eff * 4 * 4)
     if ft >= F:
         return F
+    if ft < 8:
+        # Mosaic's minimum legal tile (8) would exceed the budget and
+        # risk a scoped-VMEM compile OOM; callers should have routed to
+        # score_quartile_xla via fits_vmem().
+        raise ValueError(
+            f"score_quartile_pallas: I={I}, N={N} (lane-padded {n_eff}) "
+            f"exceeds the {VMEM_BUDGET/1e6:.1f} MB VMEM budget even at "
+            "the minimum frame tile of 8; use score_quartile_xla"
+        )
     # Mosaic: a non-full second-to-last block dim must be 8-divisible
-    return max(8, ft - ft % 8)
+    return ft - ft % 8
 
 
 def _score_kernel(nP_ref, v_ref, cnt_ref, med_ref):

@@ -109,3 +109,19 @@ def test_frame_tile_known_shapes():
             ft = _f_tile(F, I, 256)
             assert ft == F or ft % 8 == 0
             assert 8 <= ft <= F or ft == F
+
+
+def test_vmem_overflow_raises_and_gates():
+    """When even the minimum legal frame tile (8) exceeds the VMEM
+    budget (e.g. I=400 hypotheses with a lane-padded N=384), _f_tile
+    must raise rather than silently return a tile that compiles into
+    a Mosaic scoped-VMEM OOM, and fits_vmem must steer callers to the
+    XLA path (ADVICE r3)."""
+    import pytest
+    from rssync_tpu.ops.pallas_score import _f_tile, fits_vmem
+
+    assert not fits_vmem(60, 400, 300)  # 8*400*384*16 = 19.7 MB
+    with pytest.raises(ValueError, match="VMEM budget"):
+        _f_tile(60, 400, 300)
+    assert fits_vmem(60, 200, 256)
+    assert fits_vmem(60, 400, 256)  # exactly 13.1 MB, inside budget

@@ -182,13 +182,19 @@ def test_strip_dma_kernel_matches_xla_gather(rng):
 def test_strip_path_matches_legacy_gather_path(rng):
     """Full-tracker equivalence: the strip-fetch search path (row
     residual folded into taps) tracks identically to the legacy
-    per-row-clamped gather path on frames big enough for both."""
+    per-row-clamped gather path on frames big enough for both —
+    including points whose search windows overhang the frame TOP
+    (ADVICE r3: the old roff lower clip shifted those windows
+    in-bounds instead of edge-replicating, diverging up to ~1.9 px;
+    _tap2's position clamp now replicates exactly like the legacy
+    per-row clamp)."""
     from rssync_tpu.frontend import tracking as T
 
     H, W = 160, 384
     frames = jnp.asarray(rng.integers(0, 255, (3, H, W)), jnp.uint8)
     pts = np.asarray(
-        [[60.0, 40.0], [200.0, 80.0], [300.0, 120.0], [120.0, 130.0]])
+        [[60.0, 40.0], [200.0, 80.0], [300.0, 120.0], [120.0, 130.0],
+         [64.0, 2.0], [180.0, 5.0], [256.0, 0.0]])  # last 3: top edge
     base = np.asarray(T.lk_track_video(frames, pts))
 
     orig = T._strip_path_ok
