@@ -18,7 +18,10 @@
 // rssync_tpu/frontend/telemetry.py bit-for-bit on the supported paths
 // (cross-checked in tests/test_native_gpmf.py).
 
+#include <algorithm>
+#include <array>
 #include <cctype>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -444,6 +447,560 @@ bool parse_gyroflow_json(const uint8_t* buf, size_t len,
   return false;
 }
 
+// --- text telemetry formats --------------------------------------------
+// gcsv / plain CSV / Betaflight blackbox CSV / binary blackbox (.bbl),
+// each mirroring the corresponding parser in
+// rssync_tpu/frontend/telemetry.py bit for bit on well-formed inputs
+// (strtod and Python float() are both correctly-rounded IEEE-754).
+// Replaces the breadth the reference inherits from the telemetry-parser
+// crate's single native entry point
+// (ref: rust/telemetry-parser-cpp/src/lib.rs:29-37).
+
+constexpr double kDeg2Rad = 0.017453292519943295;
+
+// full-token strtod: the whole trimmed field must parse (Python float())
+bool parse_f64(const char* s, const char* e, double* out) {
+  while (s < e && std::isspace((unsigned char)*s)) ++s;
+  while (e > s && std::isspace((unsigned char)e[-1])) --e;
+  if (s >= e || size_t(e - s) > 63) return false;
+  char tmp[64];
+  std::memcpy(tmp, s, size_t(e - s));
+  tmp[e - s] = 0;
+  // Python float() rejects C99 hex-float literals that strtod accepts
+  if (tmp[0] == '0' && (tmp[1] == 'x' || tmp[1] == 'X')) return false;
+  if ((tmp[0] == '-' || tmp[0] == '+') && tmp[1] == '0' &&
+      (tmp[2] == 'x' || tmp[2] == 'X'))
+    return false;
+  char* endp = nullptr;
+  double v = std::strtod(tmp, &endp);
+  if (endp != tmp + (e - s)) return false;
+  *out = v;
+  return true;
+}
+
+struct Lines {
+  const char* p;
+  const char* end;
+  // next line [s, e) without the newline; false at EOF
+  bool next(const char** s, const char** e) {
+    if (p >= end) return false;
+    *s = p;
+    const char* nl = static_cast<const char*>(
+        std::memchr(p, '\n', size_t(end - p)));
+    if (nl == nullptr) {
+      *e = end;
+      p = end;
+    } else {
+      *e = nl;
+      p = nl + 1;
+    }
+    if (*e > *s && (*e)[-1] == '\r') --*e;
+    return true;
+  }
+};
+
+void split_fields(const char* s, const char* e,
+                  std::vector<std::pair<const char*, const char*>>* out) {
+  out->clear();
+  const char* f = s;
+  for (const char* q = s;; ++q) {
+    if (q == e || *q == ',') {
+      out->push_back({f, q});
+      if (q == e) break;
+      f = q + 1;
+    }
+  }
+}
+
+bool field_is(const std::pair<const char*, const char*>& f, const char* k) {
+  const char* s = f.first;
+  const char* e = f.second;
+  size_t l = std::strlen(k);
+  if (size_t(e - s) != l) return false;
+  for (size_t i = 0; i < l; ++i)
+    if (std::tolower((unsigned char)s[i]) != k[i]) return false;
+  return true;
+}
+
+// GyroFlow .gcsv: `key,value` header lines (tscale/gscale/...), then
+// `t,gx,gy,gz[,...]` rows (mirrors telemetry.py::parse_gcsv)
+bool parse_gcsv_text(const uint8_t* buf, size_t len, std::vector<double>* ts,
+                     std::vector<double>* gy) {
+  static const char* kSkip[] = {
+      "ascale", "mscale", "version", "id", "orientation", "videofilename",
+      "lensprofile", "lens_profile", "vendor", "frequency", "note",
+      "t", "time"};
+  double tscale = 1.0, gscale = 1.0;
+  Lines ln{reinterpret_cast<const char*>(buf),
+           reinterpret_cast<const char*>(buf) + len};
+  std::vector<std::pair<const char*, const char*>> f;
+  const char *s, *e;
+  while (ln.next(&s, &e)) {
+    while (s < e && std::isspace((unsigned char)*s)) ++s;
+    while (e > s && std::isspace((unsigned char)e[-1])) --e;
+    if (s >= e) continue;
+    split_fields(s, e, &f);
+    if (field_is(f[0], "tscale") && f.size() > 1) {
+      parse_f64(f[1].first, f[1].second, &tscale);
+      continue;
+    }
+    if (field_is(f[0], "gscale") && f.size() > 1) {
+      parse_f64(f[1].first, f[1].second, &gscale);
+      continue;
+    }
+    bool skip = false;
+    for (const char* k : kSkip)
+      if (field_is(f[0], k)) {
+        skip = true;
+        break;
+      }
+    if (skip) continue;
+    if (f.size() < 4) continue;
+    double row[4];
+    bool ok = true;
+    for (int i = 0; i < 4 && ok; ++i)
+      ok = parse_f64(f[i].first, f[i].second, &row[i]);
+    if (!ok) continue;
+    ts->push_back(row[0] * tscale);
+    for (int i = 1; i < 4; ++i) gy->push_back(row[i] * gscale);
+  }
+  return !ts->empty();
+}
+
+// plain CSV `t_seconds,gx,gy,gz` with optional header line (mirrors
+// telemetry.py::parse_csv / np.genfromtxt: unparseable fields -> NaN,
+// '#' comments stripped, first row dropped if any of its fields is NaN)
+bool parse_plain_csv(const uint8_t* buf, size_t len, std::vector<double>* ts,
+                     std::vector<double>* gy) {
+  Lines ln{reinterpret_cast<const char*>(buf),
+           reinterpret_cast<const char*>(buf) + len};
+  std::vector<std::pair<const char*, const char*>> f;
+  std::vector<std::array<double, 4>> rows;
+  const char *s, *e;
+  size_t ncols = 0;
+  bool first = true, first_nan = false;
+  while (ln.next(&s, &e)) {
+    const char* hash =
+        static_cast<const char*>(std::memchr(s, '#', size_t(e - s)));
+    if (hash != nullptr) e = hash;
+    while (s < e && std::isspace((unsigned char)*s)) ++s;
+    while (e > s && std::isspace((unsigned char)e[-1])) --e;
+    if (s >= e) continue;
+    split_fields(s, e, &f);
+    if (ncols == 0) ncols = f.size();
+    if (f.size() != ncols) return false;  // genfromtxt raises
+    std::array<double, 4> row{};
+    bool any_nan = false;
+    size_t take = f.size() < 4 ? f.size() : 4;
+    for (size_t i = 0; i < take; ++i) {
+      if (!parse_f64(f[i].first, f[i].second, &row[i])) {
+        row[i] = std::nan("");
+        any_nan = true;
+      }
+    }
+    if (first) {
+      first = false;
+      first_nan = any_nan;
+    }
+    rows.push_back(row);
+  }
+  if (ncols < 4 || rows.empty()) return false;
+  size_t start = first_nan ? 1 : 0;
+  if (rows.size() <= start) return false;
+  for (size_t r = start; r < rows.size(); ++r) {
+    ts->push_back(rows[r][0]);
+    for (int c = 1; c < 4; ++c) gy->push_back(rows[r][c]);
+  }
+  return true;
+}
+
+// field name with surrounding whitespace and quotes stripped
+bool header_is(const std::pair<const char*, const char*>& f, const char* k) {
+  const char* s = f.first;
+  const char* e = f.second;
+  while (s < e && std::isspace((unsigned char)*s)) ++s;
+  while (e > s && std::isspace((unsigned char)e[-1])) --e;
+  if (s < e && *s == '"') ++s;
+  if (e > s && e[-1] == '"') --e;
+  return size_t(e - s) == std::strlen(k) && std::memcmp(s, k, e - s) == 0;
+}
+
+// blackbox_decode --csv output: header row with time (us) and
+// gyroADC[0..2] (deg/s) (mirrors telemetry.py::parse_blackbox_csv)
+bool parse_blackbox_csv(const uint8_t* buf, size_t len,
+                        std::vector<double>* ts, std::vector<double>* gy) {
+  Lines ln{reinterpret_cast<const char*>(buf),
+           reinterpret_cast<const char*>(buf) + len};
+  std::vector<std::pair<const char*, const char*>> f;
+  const char *s, *e;
+  int it = -1, ig[3] = {-1, -1, -1};
+  while (ln.next(&s, &e)) {
+    if (std::search(s, e, "gyroADC[0]", "gyroADC[0]" + 10) == e) continue;
+    split_fields(s, e, &f);
+    for (size_t i = 0; i < f.size(); ++i) {
+      if (it < 0 && header_is(f[i], "time")) it = int(i);
+      for (int c = 0; c < 3; ++c) {
+        char name[16];
+        std::snprintf(name, sizeof name, "gyroADC[%d]", c);
+        if (ig[c] < 0 && header_is(f[i], name)) ig[c] = int(i);
+      }
+    }
+    break;
+  }
+  if (it < 0 || ig[0] < 0 || ig[1] < 0 || ig[2] < 0) return false;
+  size_t need =
+      size_t(std::max(std::max(it, ig[0]), std::max(ig[1], ig[2]))) + 1;
+  while (ln.next(&s, &e)) {
+    split_fields(s, e, &f);
+    if (f.size() < need) continue;
+    double t, g[3];
+    if (!parse_f64(f[size_t(it)].first, f[size_t(it)].second, &t)) continue;
+    bool ok = true;
+    for (int c = 0; c < 3 && ok; ++c)
+      ok = parse_f64(f[size_t(ig[c])].first, f[size_t(ig[c])].second, &g[c]);
+    if (!ok) continue;
+    ts->push_back(t * 1e-6);
+    for (int c = 0; c < 3; ++c) gy->push_back(g[c] * kDeg2Rad);
+  }
+  return !ts->empty();
+}
+
+// --- binary Betaflight blackbox (.bbl) ----------------------------------
+// Blackbox data format v2 subset, mirroring
+// telemetry.py::parse_blackbox_bbl (see its docstring for the exact
+// scope, unit conventions, and the fixture-only validation caveat).
+
+struct BblStream {
+  const uint8_t* buf;
+  size_t pos, end;
+  bool fail = false;
+
+  bool eof() const { return pos >= end; }
+  uint8_t byte() {
+    if (pos >= end) {
+      fail = true;
+      return 0;
+    }
+    return buf[pos++];
+  }
+  int64_t uvb() {
+    int64_t v = 0;
+    int shift = 0;
+    for (;;) {
+      uint8_t b = byte();
+      if (fail) return 0;
+      v |= int64_t(b & 0x7F) << shift;
+      if ((b & 0x80) == 0) return v;
+      shift += 7;
+      if (shift > 42) {
+        fail = true;
+        return 0;
+      }
+    }
+  }
+  int64_t svb() {
+    int64_t v = uvb();
+    return (v >> 1) ^ -(v & 1);  // zigzag
+  }
+};
+
+int64_t sx(int64_t v, int bits) {
+  int64_t m = int64_t(1) << (bits - 1);
+  return (v ^ m) - m;
+}
+
+struct BblTable {
+  std::vector<std::string> name;
+  std::vector<int> predictor, encoding;
+};
+
+double bbl_float(const char* s, const char* e) {
+  while (s < e && std::isspace((unsigned char)*s)) ++s;
+  if (e - s > 2 && s[0] == '0' && (s[1] == 'x' || s[1] == 'X')) {
+    char tmp[32];
+    size_t l = size_t(e - s) < 31 ? size_t(e - s) : 31;
+    std::memcpy(tmp, s, l);
+    tmp[l] = 0;
+    uint32_t bits = uint32_t(std::strtoul(tmp, nullptr, 16));
+    float f;
+    std::memcpy(&f, &bits, 4);
+    return double(f);
+  }
+  double v = 0.0;
+  parse_f64(s, e, &v);
+  return v;
+}
+
+// decode one frame's raw (pre-predictor) values; false on stream fail
+bool bbl_decode_fields(BblStream& st, const std::vector<int>& enc,
+                       std::vector<int64_t>* vals) {
+  size_t nf = enc.size();
+  vals->assign(nf, 0);
+  size_t i = 0;
+  while (i < nf) {
+    int e = enc[i];
+    if (e == 0) {
+      (*vals)[i++] = st.svb();
+    } else if (e == 1) {
+      (*vals)[i++] = st.uvb();
+    } else if (e == 3) {
+      (*vals)[i++] = -sx(st.uvb() & 0x3FFF, 14);
+    } else if (e == 6) {  // TAG8_8SVB over the run of same-encoded fields
+      size_t j = i;
+      while (j < nf && enc[j] == 6 && j - i < 8) ++j;
+      size_t cnt = j - i;
+      if (cnt == 1) {
+        (*vals)[i] = st.svb();
+      } else {
+        uint8_t hdr = st.byte();
+        for (size_t k = 0; k < cnt; ++k)
+          (*vals)[i + k] = ((hdr >> k) & 1) ? st.svb() : 0;
+      }
+      i = j;
+    } else if (e == 7) {  // TAG2_3S32: groups of 3
+      uint8_t lead = st.byte();
+      int tag = lead >> 6;
+      int64_t g[3] = {0, 0, 0};
+      if (tag == 0) {
+        g[0] = sx((lead >> 4) & 3, 2);
+        g[1] = sx((lead >> 2) & 3, 2);
+        g[2] = sx(lead & 3, 2);
+      } else if (tag == 1) {
+        uint8_t b = st.byte();
+        g[0] = sx(lead & 0xF, 4);
+        g[1] = sx(b >> 4, 4);
+        g[2] = sx(b & 0xF, 4);
+      } else if (tag == 2) {
+        g[0] = sx(lead & 0x3F, 6);
+        g[1] = sx(st.byte() & 0x3F, 6);
+        g[2] = sx(st.byte() & 0x3F, 6);
+      } else {
+        for (int k = 0; k < 3; ++k) {
+          int sel = (lead >> (2 * k)) & 3;
+          int nb = sel + 1;  // 1/2/3/4 bytes, little-endian
+          int64_t raw = 0;
+          for (int bi = 0; bi < nb; ++bi)
+            raw |= int64_t(st.byte()) << (8 * bi);
+          g[k] = sx(raw, 8 * nb);
+        }
+      }
+      for (int k = 0; k < 3; ++k)
+        if (i + size_t(k) < nf) (*vals)[i + size_t(k)] = g[k];
+      i += 3;
+    } else if (e == 8) {  // TAG8_4S16 v2: groups of 4, nibble-packed
+      uint8_t sel = st.byte();
+      int have_nib = 0;
+      uint8_t nib_val = 0;
+      auto nibble = [&]() -> int64_t {
+        if (!have_nib) {
+          uint8_t b = st.byte();
+          nib_val = b & 0xF;
+          have_nib = 1;
+          return b >> 4;
+        }
+        have_nib = 0;
+        return nib_val;
+      };
+      int64_t g4[4] = {0, 0, 0, 0};
+      for (int k = 0; k < 4; ++k) {
+        int f = (sel >> (2 * k)) & 3;
+        if (f == 1) {
+          g4[k] = sx(nibble(), 4);
+        } else if (f == 2) {
+          g4[k] = sx((nibble() << 4) | nibble(), 8);
+        } else if (f == 3) {
+          int64_t hi = (nibble() << 4) | nibble();
+          int64_t lo = (nibble() << 4) | nibble();
+          g4[k] = sx((hi << 8) | lo, 16);
+        }
+      }
+      for (int k = 0; k < 4; ++k)
+        if (i + size_t(k) < nf) (*vals)[i + size_t(k)] = g4[k];
+      i += 4;
+    } else if (e == 9) {
+      (*vals)[i++] = 0;
+    } else {
+      return false;  // unsupported encoding
+    }
+    if (st.fail) return false;
+  }
+  return true;
+}
+
+bool parse_blackbox_bbl(const uint8_t* buf, size_t len,
+                        std::vector<double>* ts, std::vector<double>* gy) {
+  // header lines `H name:value`
+  BblTable tI, tP, tS;
+  bool have_scale = false;
+  double scale = 0.0;
+  size_t pos = 0;
+  while (pos + 2 <= len && buf[pos] == 'H' && buf[pos + 1] == ' ') {
+    const char* s = reinterpret_cast<const char*>(buf + pos + 2);
+    size_t rem = len - pos - 2;
+    const char* nl = static_cast<const char*>(std::memchr(s, '\n', rem));
+    const char* e = nl ? nl : s + rem;
+    pos = size_t(reinterpret_cast<const uint8_t*>(e) - buf) + (nl ? 1 : 0);
+    const char* le = e;
+    if (le > s && le[-1] == '\r') --le;
+    const char* colon =
+        static_cast<const char*>(std::memchr(s, ':', size_t(le - s)));
+    if (colon == nullptr) continue;
+    std::string name(s, colon);
+    const char* vs = colon + 1;
+    // trim name
+    while (!name.empty() && std::isspace((unsigned char)name.back()))
+      name.pop_back();
+    if (name.rfind("Field ", 0) == 0 && name.size() >= 9) {
+      char fc = name[6];
+      std::string what = name.substr(8);
+      BblTable* t = fc == 'I' ? &tI : fc == 'P' ? &tP : fc == 'S' ? &tS
+                                                                  : nullptr;
+      if (t == nullptr || name[7] != ' ') continue;
+      std::vector<std::pair<const char*, const char*>> f;
+      split_fields(vs, le, &f);
+      if (what == "name") {
+        for (auto& fd : f) {
+          const char* a = fd.first;
+          const char* b = fd.second;
+          while (a < b && std::isspace((unsigned char)*a)) ++a;
+          while (b > a && std::isspace((unsigned char)b[-1])) --b;
+          t->name.emplace_back(a, b);
+        }
+      } else if (what == "predictor" || what == "encoding") {
+        std::vector<int>* v =
+            what == "predictor" ? &t->predictor : &t->encoding;
+        for (auto& fd : f) {
+          double d = 0.0;
+          parse_f64(fd.first, fd.second, &d);
+          v->push_back(int(d));
+        }
+      }
+    } else if (name == "gyro_scale" || name == "gyro.scale") {
+      scale = bbl_float(vs, le);
+      have_scale = true;
+    }
+  }
+  if (tI.name.empty()) return false;
+  size_t nf = tI.name.size();
+  if (tP.name.empty()) tP.name = tI.name;
+  int i_time = -1, i_gyro[3] = {-1, -1, -1};
+  for (size_t i = 0; i < nf; ++i) {
+    if (tI.name[i] == "time") i_time = int(i);
+    for (int c = 0; c < 3; ++c) {
+      char nm[16];
+      std::snprintf(nm, sizeof nm, "gyroADC[%d]", c);
+      if (tI.name[i] == nm) i_gyro[c] = int(i);
+    }
+  }
+  if (i_time < 0 || i_gyro[0] < 0 || i_gyro[1] < 0 || i_gyro[2] < 0)
+    return false;
+
+  auto pad = [nf](std::vector<int> v, int fill) {
+    v.resize(nf, fill);
+    return v;
+  };
+  std::vector<int> ip = pad(tI.predictor, 0), ie = pad(tI.encoding, 1);
+  std::vector<int> pp = pad(tP.predictor, 0), pe = pad(tP.encoding, 0);
+  size_t ns = tS.name.size();
+  std::vector<int> se = tS.encoding;
+  se.resize(ns, 0);
+
+  BblStream st{buf, pos, len};
+  std::vector<int64_t> prev, prev2, raw, cur;
+  bool have_prev = false;
+  std::vector<std::array<int64_t, 4>> rows;
+
+  while (!st.eof()) {
+    char fc = char(st.byte());
+    if (st.fail) break;
+    if (fc == 'I') {
+      if (!bbl_decode_fields(st, ie, &raw)) break;
+      // I-frames are self-contained: predictors that reference header
+      // constants only affect fields we never read
+      prev2 = prev = raw;
+      have_prev = true;
+    } else if (fc == 'P') {
+      if (!have_prev) break;  // P before any I: unsynced stream
+      if (!bbl_decode_fields(st, pe, &raw)) break;
+      cur.assign(nf, 0);
+      for (size_t i = 0; i < nf; ++i) {
+        int p = pp[i];
+        int64_t base;
+        if (p == 0)
+          base = 0;
+        else if (p == 1)
+          base = prev[i];
+        else if (p == 2)
+          base = 2 * prev[i] - prev2[i];
+        else if (p == 3)
+          base = (prev[i] + prev2[i]) >> 1;  // floor div, matches Python //
+        else if (p == 6)
+          base = prev[i] + 1;
+        else
+          base = prev[i];  // outside the subset: stream position exact
+        cur[i] = base + raw[i];
+      }
+      prev2 = prev;
+      prev = cur;
+    } else if (fc == 'S' && ns > 0) {
+      if (!bbl_decode_fields(st, se, &raw)) break;
+      continue;
+    } else if (fc == 'E') {
+      uint8_t ev = st.byte();
+      if (st.fail || ev == 255) break;  // end of log
+      if (ev == 0) {
+        st.uvb();  // sync beep time
+        if (st.fail) break;
+        continue;
+      }
+      if (ev == 30) {
+        st.uvb();
+        st.uvb();  // logging resume: iteration, time
+        if (st.fail) break;
+        continue;
+      }
+      break;  // unknown event: stop at last good frame
+    } else {
+      break;  // unknown frame type / desync
+    }
+    rows.push_back({prev[size_t(i_time)], prev[size_t(i_gyro[0])],
+                    prev[size_t(i_gyro[1])], prev[size_t(i_gyro[2])]});
+  }
+  if (rows.empty()) return false;
+  for (auto& r : rows) {
+    ts->push_back(double(r[0]) * 1e-6);
+    for (int c = 0; c < 3; ++c) {
+      double v = double(r[1 + c]);
+      gy->push_back(have_scale ? v * scale * 1e6
+                               : (v / 16.4) * kDeg2Rad);
+    }
+  }
+  return true;
+}
+
+bool has_ext(const char* path, const char* ext) {
+  size_t lp = std::strlen(path), le = std::strlen(ext);
+  if (lp < le) return false;
+  for (size_t i = 0; i < le; ++i)
+    if (std::tolower((unsigned char)path[lp - le + i]) != ext[i]) return false;
+  return true;
+}
+
+tp_gyrodata pack_result(const std::vector<double>& ts,
+                        const std::vector<double>& gy, const char* orient) {
+  tp_gyrodata result{0, nullptr, nullptr};
+  if (ts.empty()) return result;
+  std::vector<double> g = gy;
+  if (!user_orient(g, ts.size(), orient)) return result;
+  size_t n = ts.size();
+  result.samples = n;
+  result.timestamps = static_cast<double*>(malloc(n * sizeof(double)));
+  result.gyro = static_cast<double*>(malloc(n * 3 * sizeof(double)));
+  std::memcpy(result.timestamps, ts.data(), n * sizeof(double));
+  std::memcpy(result.gyro, g.data(), n * 3 * sizeof(double));
+  return result;
+}
+
 }  // namespace
 
 extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
@@ -462,24 +1019,71 @@ extern "C" tp_gyrodata tp_load_gyro(const char* path, const char* orient) {
 
   tp_gyrodata result = empty();
 
-  // GyroFlow JSON telemetry: first non-whitespace byte '{' or '['
-  {
+  // format dispatch mirroring telemetry.py::load_gyro: extension
+  // first, then content sniff (MP4 box header, blackbox magic, JSON
+  // brace, gcsv fallback)
+  enum class Fmt { kMp4, kJson, kGcsv, kBbl, kCsvAny };
+  Fmt fmt;
+  if (has_ext(path, ".gcsv")) {
+    fmt = Fmt::kGcsv;
+  } else if (has_ext(path, ".json") || has_ext(path, ".gyroflow")) {
+    fmt = Fmt::kJson;
+  } else if (has_ext(path, ".mp4") || has_ext(path, ".mov") ||
+             has_ext(path, ".360")) {
+    fmt = Fmt::kMp4;
+  } else if (has_ext(path, ".bbl") || has_ext(path, ".bfl")) {
+    fmt = Fmt::kBbl;
+  } else if (has_ext(path, ".csv")) {
+    fmt = Fmt::kCsvAny;
+  } else if (len >= 8 && (std::memcmp(buf + 4, "ftyp", 4) == 0 ||
+                          std::memcmp(buf + 4, "moov", 4) == 0 ||
+                          std::memcmp(buf + 4, "mdat", 4) == 0)) {
+    fmt = Fmt::kMp4;
+  } else if (len >= 18 &&
+             std::memcmp(buf, "H Product:Blackbox", 18) == 0) {
+    fmt = Fmt::kBbl;
+  } else {
     size_t i = 0;
     while (i < len && std::isspace(buf[i])) ++i;
-    if (i < len && (buf[i] == '{' || buf[i] == '[')) {
-      std::vector<double> ts, gy;
-      if (parse_gyroflow_json(buf + i, len - i, &ts, &gy) && !ts.empty() &&
-          user_orient(gy, ts.size(), orient)) {
-        size_t n = ts.size();
-        result.samples = n;
-        result.timestamps = static_cast<double*>(malloc(n * sizeof(double)));
-        result.gyro = static_cast<double*>(malloc(n * 3 * sizeof(double)));
-        std::memcpy(result.timestamps, ts.data(), n * sizeof(double));
-        std::memcpy(result.gyro, gy.data(), n * 3 * sizeof(double));
+    fmt = (i < len && (buf[i] == '{' || buf[i] == '['))
+              ? Fmt::kJson
+              : Fmt::kGcsv;
+  }
+
+  if (fmt != Fmt::kMp4) {
+    std::vector<double> ts, gy;
+    switch (fmt) {
+      case Fmt::kJson: {
+        size_t i = 0;
+        while (i < len && std::isspace(buf[i])) ++i;
+        if (i < len) parse_gyroflow_json(buf + i, len - i, &ts, &gy);
+        break;
       }
-      munmap(map, len);
-      return result;
+      case Fmt::kGcsv:
+        parse_gcsv_text(buf, len, &ts, &gy);
+        break;
+      case Fmt::kBbl:
+        parse_blackbox_bbl(buf, len, &ts, &gy);
+        break;
+      case Fmt::kCsvAny: {
+        // blackbox_decode CSVs self-identify via gyroADC columns in
+        // the first 4096 bytes (mirrors load_gyro's sniff)
+        size_t head = len < 4096 ? len : 4096;
+        const char* h = reinterpret_cast<const char*>(buf);
+        bool bb = std::search(h, h + head, "gyroADC[0]",
+                              "gyroADC[0]" + 10) != h + head;
+        if (bb)
+          parse_blackbox_csv(buf, len, &ts, &gy);
+        else
+          parse_plain_csv(buf, len, &ts, &gy);
+        break;
+      }
+      default:
+        break;
     }
+    result = pack_result(ts, gy, orient);
+    munmap(map, len);
+    return result;
   }
 
   do {

@@ -149,9 +149,10 @@ def _native_load(path: str, orient: str | None) -> GyroData | None:
     lib = _native_lib()
     if lib is None:
         return None
-    ext = os.path.splitext(path)[1].lower()
-    if ext not in (".mp4", ".mov", ".360", ".json", ".gyroflow"):
-        return None  # native parser: GPMF/CAMM containers + JSON gyro
+    # the native lib parses every format this module dispatches (GPMF/
+    # CAMM MP4, GyroFlow JSON, .gcsv, blackbox .bbl, blackbox CSV,
+    # plain CSV) — same single-entry-point contract as the reference's
+    # telemetry-parser crate (ref: lib.rs:29-37)
     res = lib.tp_load_gyro(
         path.encode(), orient.encode() if orient else None
     )

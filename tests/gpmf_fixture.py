@@ -187,3 +187,168 @@ def write_camm_mp4(
 
     with open(path, "wb") as f:
         f.write(ftyp + mdat + moov)
+
+
+# ---------------------------------------------------------------------------
+# Binary Betaflight blackbox (.bbl) fixture writer — blackbox data
+# format v2 subset: H headers, I/P frames, SIGNED_VB / UNSIGNED_VB /
+# TAG2_3S32 / TAG8_8SVB / NULL encodings, ZERO / PREVIOUS /
+# STRAIGHT_LINE / AVERAGE_2 / INCREMENT predictors, S + E frames.
+
+
+def _uvb(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _svb(v: int) -> bytes:
+    return _uvb((v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else ((-v) << 1) - 1
+
+
+def _svb2(v: int) -> bytes:
+    return _uvb(_zigzag(v))
+
+
+def _tag2_3s32(vals) -> bytes:
+    """Encode 3 signed ints per the TAG2_3S32 scheme (always uses a
+    representation wide enough for the group)."""
+    a, b, c = vals
+    if all(-2 <= v <= 1 for v in vals):
+        return bytes([(0 << 6) | ((a & 3) << 4) | ((b & 3) << 2) | (c & 3)])
+    if all(-8 <= v <= 7 for v in vals):
+        return bytes([(1 << 6) | (a & 0xF), ((b & 0xF) << 4) | (c & 0xF)])
+    if all(-32 <= v <= 31 for v in vals):
+        return bytes([(2 << 6) | (a & 0x3F), b & 0x3F, c & 0x3F])
+    lead = 3 << 6
+    body = bytearray()
+    for k, v in enumerate(vals):
+        for sel, bits in enumerate((8, 16, 24, 32)):
+            if -(1 << (bits - 1)) <= v < (1 << (bits - 1)):
+                break
+        lead |= sel << (2 * k)
+        body += int(v & ((1 << (8 * (sel + 1))) - 1)).to_bytes(
+            sel + 1, "little"
+        )
+    return bytes([lead]) + bytes(body)
+
+
+def _tag8_8svb(vals) -> bytes:
+    if len(vals) == 1:
+        return _svb2(vals[0])
+    hdr = 0
+    body = b""
+    for k, v in enumerate(vals):
+        if v:
+            hdr |= 1 << k
+            body += _svb2(v)
+    return bytes([hdr]) + body
+
+
+BBL_I_FIELDS = ["loopIteration", "time",
+                "gyroADC[0]", "gyroADC[1]", "gyroADC[2]",
+                "motor[0]", "motor[1]"]
+#                           loop time gyro        motors
+BBL_I_PRED = [0, 0, 0, 0, 0, 0, 0]
+BBL_I_ENC = [1, 1, 0, 0, 0, 1, 1]
+BBL_P_PRED = [6, 2, 3, 3, 3, 1, 1]
+BBL_P_ENC = [9, 0, 7, 7, 7, 6, 6]
+
+
+def write_bbl(path: str, times_us, gyro_raw, gyro_scale: float,
+              iframe_every: int = 8, with_s_frames: bool = False,
+              with_events: bool = True) -> None:
+    """Write a v2 blackbox log whose decoded rows are (times_us,
+    gyro_raw). gyro_scale is written as a hex-float header
+    (rad/us per LSB)."""
+    import numpy as _np
+
+    times_us = [int(t) for t in times_us]
+    gyro_raw = _np.asarray(gyro_raw, _np.int64)
+    hdr = [
+        "H Product:Blackbox flight data recorder by Nicholas Sherlock",
+        "H Data version:2",
+        "H Field I name:" + ",".join(BBL_I_FIELDS),
+        "H Field I signed:" + ",".join(
+            "0" if f in ("loopIteration", "time") else "1"
+            for f in BBL_I_FIELDS),
+        "H Field I predictor:" + ",".join(map(str, BBL_I_PRED)),
+        "H Field I encoding:" + ",".join(map(str, BBL_I_ENC)),
+        "H Field P predictor:" + ",".join(map(str, BBL_P_PRED)),
+        "H Field P encoding:" + ",".join(map(str, BBL_P_ENC)),
+        "H gyro_scale:0x%08x" % int.from_bytes(
+            struct.pack("<f", gyro_scale), "little"),
+    ]
+    if with_s_frames:
+        hdr += [
+            "H Field S name:flightModeFlags,stateFlags",
+            "H Field S signed:0,0",
+            "H Field S predictor:0,0",
+            "H Field S encoding:1,1",
+        ]
+    out = bytearray(("\n".join(hdr) + "\n").encode())
+
+    motors = [1200, 1300]
+    hist = []  # decoded field rows, for predictor encoding
+    for r in range(len(times_us)):
+        row = [r, times_us[r], int(gyro_raw[r, 0]), int(gyro_raw[r, 1]),
+               int(gyro_raw[r, 2]), motors[0] + (r % 3), motors[1]]
+        if r % iframe_every == 0:
+            out += b"I"
+            for i, f in enumerate(BBL_I_FIELDS):
+                v = row[i]
+                out += _uvb(v) if BBL_I_ENC[i] == 1 else _svb2(v)
+            hist = [row, row]
+        else:
+            prev, prev2 = hist[1], hist[0]
+            out += b"P"
+            resid = []
+            for i in range(len(row)):
+                p = BBL_P_PRED[i]
+                if p == 0:
+                    base = 0
+                elif p == 1:
+                    base = prev[i]
+                elif p == 2:
+                    base = 2 * prev[i] - prev2[i]
+                elif p == 3:
+                    base = (prev[i] + prev2[i]) // 2
+                elif p == 6:
+                    base = prev[i] + 1
+                resid.append(row[i] - base)
+            i = 0
+            while i < len(row):
+                e = BBL_P_ENC[i]
+                if e == 9:
+                    i += 1
+                elif e == 0:
+                    out += _svb2(resid[i])
+                    i += 1
+                elif e == 7:
+                    out += _tag2_3s32(resid[i : i + 3])
+                    i += 3
+                elif e == 6:
+                    j = i
+                    while j < len(row) and BBL_P_ENC[j] == 6 and j - i < 8:
+                        j += 1
+                    out += _tag8_8svb(resid[i:j])
+                    i = j
+            hist = [prev, row]
+        if with_s_frames and r == 2:
+            out += b"S" + _uvb(3) + _uvb(1)
+        if with_events and r == 4:
+            out += b"E" + bytes([0]) + _uvb(times_us[r])  # sync beep
+    if with_events:
+        out += b"E" + bytes([255]) + b"End of log\x00"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
