@@ -214,6 +214,21 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # ---- compiled Pallas kernel parity (VERDICT r3 #4) -------------------
+    # runs every round on the chip; the CPU suite only interprets these
+    from rssync_tpu.testing.tpu_selftest import run_selftest
+
+    t0 = time.time()
+    try:
+        selftest = run_selftest()
+    except Exception as exc:  # report, don't sink the bench
+        selftest = {"ok": False, "checks": {"exception": repr(exc)}}
+    print(
+        f"# pallas selftest ({time.time() - t0:.1f}s): "
+        + ("PASS" if selftest["ok"] else f"FAIL {selftest['checks']}"),
+        file=sys.stderr,
+    )
+
     total = track_time + presync_best + sync_best
     print(
         json.dumps(
@@ -229,6 +244,7 @@ def main() -> int:
                     "offset_err_ms": round(float(err_ms), 4),
                     "onvideo_track_med_px": round(track_med_px, 3),
                     "onvideo_track_p95_px": round(track_p95_px, 3),
+                    "pallas_selftest": "pass" if selftest["ok"] else "FAIL",
                 },
             }
         )

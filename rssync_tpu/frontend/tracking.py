@@ -350,35 +350,43 @@ def _pad_lanes(img: jnp.ndarray, strip_rows: bool = False) -> jnp.ndarray:
 
 
 def _gather_blocks(imgs: jnp.ndarray, oy: jnp.ndarray, obx: jnp.ndarray,
-                   S: int) -> jnp.ndarray:
+                   S: int, fidx: jnp.ndarray | None = None) -> jnp.ndarray:
     """Fetch S-row x 256-lane windows for every (pair, point) in ONE
     jnp.take.
 
     imgs: (B, H, Wp) with Wp % 128 == 0; oy: (B, N) int32 top row;
     obx: (B, N) int32 leftmost 128-lane block. Returns (B, N, S, 256)
-    f32. Rows/blocks are clamped per-row (edge replication)."""
-    B, H, Wp = imgs.shape
+    f32. Rows/blocks are clamped per-row (edge replication).
+    fidx: optional (B,) int32 frame indices — imgs then holds the FULL
+    clip (T, H, Wp) and row b reads frame fidx[b] (the hoisted chunked
+    tracker reads per-chunk windows straight from full-clip arrays,
+    no per-chunk frame copies)."""
+    H, Wp = imgs.shape[-2:]
     NB = Wp // LANE
-    src = imgs.reshape(B * H * NB, LANE)
+    src = imgs.reshape(imgs.shape[0] * H * NB, LANE)
     rows = jnp.clip(oy[..., None] + jnp.arange(S, dtype=jnp.int32), 0, H - 1)
     blk = jnp.clip(
         obx[..., None, None] + jnp.arange(2, dtype=jnp.int32), 0, NB - 1
     )  # (B, N, 1, 2)
-    base = jnp.arange(B, dtype=jnp.int32)[:, None, None] * H + rows  # (B,N,S)
+    if fidx is None:
+        fidx = jnp.arange(imgs.shape[0], dtype=jnp.int32)
+    B = fidx.shape[0]
+    base = fidx.astype(jnp.int32)[:, None, None] * H + rows  # (B, N, S)
     idx = base[..., None] * NB + blk  # (B, N, S, 2)
     out = jnp.take(src, idx.reshape(-1), axis=0)
     N = oy.shape[1]
     return out.reshape(B, N, S, 2 * LANE).astype(jnp.float32)
 
 
-def _dma_strips_kernel(oyq_ref, obx_ref, img_ref, out_ref, sems):
+def _dma_strips_kernel(oyq_ref, obx_ref, fidx_ref, img_ref, out_ref, sems):
     """Per-pair program: double-buffered async copies of each point's
     (STRIP_ROWS, 256) strip from the HBM-resident image into the VMEM
     output block. Row starts are 8*oyq (provably tile-aligned), column
     starts 128*obx (lane-aligned) — the two Mosaic DMA constraints
     that sank round 2's per-patch kernel (experiments/pallas_patch.py); the
     residual offsets are resolved by the caller's interpolation taps,
-    so the kernel never converts or rolls."""
+    so the kernel never converts or rolls. The source frame is
+    fidx[b], so the image array may hold the whole clip."""
     b = pl.program_id(0)
     n = out_ref.shape[0]
     depth = DMA_SLOTS
@@ -386,7 +394,7 @@ def _dma_strips_kernel(oyq_ref, obx_ref, img_ref, out_ref, sems):
     def get(i, slot):
         return pltpu.make_async_copy(
             img_ref.at[
-                b,
+                fidx_ref[b],
                 pl.ds(oyq_ref[b, i] * 8, STRIP_ROWS),
                 pl.ds(obx_ref[b, i] * LANE, 2 * LANE),
             ],
@@ -414,18 +422,21 @@ def _dma_strips_kernel(oyq_ref, obx_ref, img_ref, out_ref, sems):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _gather_strips_pallas(imgs, oyq, obx, interpret=False):
+def _gather_strips_pallas(imgs, oyq, obx, interpret=False, fidx=None):
     """(B, N, STRIP_ROWS, 256) strips at rows [8*oyq, 8*oyq+40), cols
     [128*obx, +256), in the image dtype. Callers pre-clamp indices so
-    every strip is fully in-bounds."""
+    every strip is fully in-bounds. fidx: optional (B,) int32 source
+    frame per program (imgs then holds the full clip)."""
     B, N = oyq.shape
+    if fidx is None:
+        fidx = jnp.arange(B, dtype=jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (None, N, STRIP_ROWS, 2 * LANE),
-            lambda b, oyq, obx: (b, 0, 0, 0),
+            lambda b, oyq, obx, fidx: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.SemaphoreType.DMA((DMA_SLOTS,))],
@@ -437,7 +448,7 @@ def _gather_strips_pallas(imgs, oyq, obx, interpret=False):
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(oyq, obx, imgs)
+    )(oyq, obx, fidx.astype(jnp.int32), imgs)
 
 
 def _on_tpu() -> bool:
@@ -462,15 +473,17 @@ def _strip_path_ok(img: jnp.ndarray, n_pts: int) -> bool:
     )
 
 
-def _gather_strips(imgs: jnp.ndarray, oyq: jnp.ndarray,
-                   obx: jnp.ndarray) -> jnp.ndarray:
+def _gather_strips(imgs: jnp.ndarray, oyq: jnp.ndarray, obx: jnp.ndarray,
+                   fidx: jnp.ndarray | None = None) -> jnp.ndarray:
     """Strip fetch: Pallas DMA on TPU (6.2x the XLA gather's rate at
     the 2.7k operating shape, experiments/r3_dma.py), XLA row-block
     gather elsewhere — identical values (strips are pre-clamped
     in-bounds, so the XLA path's per-row clip never engages)."""
     if _on_tpu():
-        return _gather_strips_pallas(imgs, oyq, obx)
-    return _gather_blocks(imgs, oyq * 8, obx, STRIP_ROWS).astype(imgs.dtype)
+        return _gather_strips_pallas(imgs, oyq, obx, fidx=fidx)
+    return _gather_blocks(
+        imgs, oyq * 8, obx, STRIP_ROWS, fidx=fidx
+    ).astype(imgs.dtype)
 
 
 def _tap2(pos: jnp.ndarray, size: int, width: int,
@@ -611,6 +624,50 @@ def _extract_patches_static(imgs: jnp.ndarray, origins: np.ndarray,
     return jnp.stack(out, axis=1).astype(jnp.float32)
 
 
+def _lk_templates(img_a, pts_level, radius: int):
+    """Template patches + gradients + Gauss-Newton normal-matrix terms
+    for every frame in img_a at pts_level — the img_a half of an LK
+    level, split out so the hoisted chunked tracker can compute it
+    ONCE for the whole clip (per-chunk work then only touches img_b).
+
+    img_a: (B, H, Wp) lane-padded level images. pts_level: (N, 2) or
+    (B, N, 2); a host np.ndarray of integers takes the static-template
+    fast path. Returns a dict of (B, N, ...) arrays."""
+    w = 2 * radius + 1
+    B = img_a.shape[0]
+    static_grid = (
+        isinstance(pts_level, np.ndarray)
+        and pts_level.ndim == 2
+        and np.all(pts_level == np.round(pts_level))
+    )
+    if static_grid:
+        patch_a = _extract_patches_static(
+            img_a, pts_level - (radius + 1), w + 2
+        )  # (B, N, w+2, w+2)
+    else:
+        p = jnp.asarray(pts_level, jnp.float32)
+        if p.ndim == 2:
+            p = jnp.broadcast_to(p[None], (B, *p.shape))
+        # template patch (w+2)^2 for central-difference gradients
+        patch_a = _extract_patches(
+            img_a, p - (radius + 1), w + 2,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    ix = 0.5 * (patch_a[..., 1:-1, 2:] - patch_a[..., 1:-1, :-2])
+    iy = 0.5 * (patch_a[..., 2:, 1:-1] - patch_a[..., :-2, 1:-1])
+    t = patch_a[..., 1:-1, 1:-1]
+    gxx = jnp.sum(ix * ix, axis=(-2, -1))
+    gxy = jnp.sum(ix * iy, axis=(-2, -1))
+    gyy = jnp.sum(iy * iy, axis=(-2, -1))
+    det = gxx * gyy - gxy * gxy
+    inv_ok = det > 1e-6
+    det_safe = jnp.where(inv_ok, det, 1.0)
+    return {
+        "t": t, "ix": ix, "iy": iy, "gxx": gxx, "gxy": gxy, "gyy": gyy,
+        "det_safe": det_safe, "inv_ok": inv_ok,
+    }
+
+
 def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
               margin: int, precision=None):
     """One pyramid level of iterative LK for all (pair, point).
@@ -626,38 +683,29 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
     Gauss-Newton steps where the shifted fractional window is two
     interpolation matmuls against the resident region (never touching
     HBM again)."""
-    w = 2 * radius + 1
-    B = img_a.shape[0]
-    static_grid = (
-        isinstance(pts_level, np.ndarray)
-        and pts_level.ndim == 2
-        and np.all(pts_level == np.round(pts_level))
+    tmpl = _lk_templates(img_a, pts_level, radius)
+    return _lk_iterate(
+        img_b, pts_level, guess, tmpl, radius, iters, margin, precision
     )
-    if static_grid:
-        patch_a = _extract_patches_static(
-            img_a, pts_level - (radius + 1), w + 2
-        )  # (B, N, w+2, w+2)
-        pts_level = jnp.asarray(pts_level, jnp.float32)
+
+
+def _lk_iterate(img_b, pts_level, guess, tmpl, radius: int, iters: int,
+                margin: int, precision=None, fidx=None):
+    """The img_b half of an LK level: fetch each point's search region
+    and run `iters` Gauss-Newton steps against precomputed templates
+    (`tmpl` from _lk_templates; its B axis must match guess's). With
+    fidx (B,) int32, img_b holds the FULL clip and pair b searches
+    frame fidx[b] — zero per-chunk frame copies."""
+    w = 2 * radius + 1
+    B = guess.shape[0]
+    t, ix, iy = tmpl["t"], tmpl["ix"], tmpl["iy"]
+    gxx, gxy, gyy = tmpl["gxx"], tmpl["gxy"], tmpl["gyy"]
+    det_safe, inv_ok = tmpl["det_safe"], tmpl["inv_ok"]
+    pts_level = jnp.asarray(pts_level, jnp.float32)
     if pts_level.ndim == 2:
         pts_level = jnp.broadcast_to(
             pts_level[None], (B, *pts_level.shape)
         )
-
-    if not static_grid:
-        # template patch (w+2)^2 for central-difference gradients
-        patch_a = _extract_patches(
-            img_a, pts_level - (radius + 1), w + 2,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    ix = 0.5 * (patch_a[..., 1:-1, 2:] - patch_a[..., 1:-1, :-2])
-    iy = 0.5 * (patch_a[..., 2:, 1:-1] - patch_a[..., :-2, 1:-1])
-    t = patch_a[..., 1:-1, 1:-1]
-    gxx = jnp.sum(ix * ix, axis=(-2, -1))
-    gxy = jnp.sum(ix * iy, axis=(-2, -1))
-    gyy = jnp.sum(iy * iy, axis=(-2, -1))
-    det = gxx * gyy - gxy * gxy
-    inv_ok = det > 1e-6
-    det_safe = jnp.where(inv_ok, det, 1.0)
 
     # resident search region around the incoming guess: rows exact at
     # the integer anchor, the 2-block (256-lane) column superset
@@ -692,7 +740,7 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
         rem = jnp.minimum(
             (ox - obx * LANE).astype(jnp.float32), float(2 * LANE - Sc)
         )
-        wide = _gather_strips(img_b, oyq, obx)  # (B, N, 40, 256)
+        wide = _gather_strips(img_b, oyq, obx, fidx=fidx)  # (B, N, 40, 256)
     else:
         # clamp the block (not the remainder): negative rem positions
         # edge-replicate via the clamped taps, matching the strip path
@@ -702,7 +750,7 @@ def _lk_level(img_a, img_b, pts_level, guess, radius: int, iters: int,
         obx = jnp.clip(ox // LANE, 0, max(NB_l - 2, 0))
         rem = (ox - obx * LANE).astype(jnp.float32)  # integer-valued
         roff = jnp.zeros_like(rem)
-        wide = _gather_blocks(img_b, oy, obx, S)  # (B, N, S, 256)
+        wide = _gather_blocks(img_b, oy, obx, S, fidx=fidx)  # (B, N, S, 256)
     if wide.dtype == jnp.uint8:
         # u8 pixels and one-hot taps are exact in bf16: the narrowing
         # select runs as a single bf16 MXU pass, f32 accumulation

