@@ -65,6 +65,10 @@ def _lib():
     lib.golden_sample_rate.restype = ctypes.c_double
     lib.golden_quats_start.argtypes = [ctypes.c_void_p]
     lib.golden_quats_start.restype = ctypes.c_double
+    lib.golden_fill_gyro_interp.argtypes = [
+        ctypes.c_void_p, DP, DP, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_double)]
+    lib.golden_fill_gyro_interp.restype = ctypes.c_int
     return lib
 
 
@@ -72,16 +76,33 @@ def _dp(a):
     return np.ascontiguousarray(a, np.float64).ctypes.data_as(DP)
 
 
+def rates_from_quats(quats_wxyz: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """Angular-rate log (n, 3) rad/s whose left-multiply integration
+    (q_i = from_aa(w_i*dt_i) o q_{i-1}, the driver convention of
+    core_testcode.cpp:41-46) reproduces the scene's orientation
+    history up to a constant global rotation (q_0 = identity instead
+    of the scene's q_0 — the epipolar loss is invariant to it):
+    w_i = rotvec(q_i o q_{i-1}^-1)/dt_i, w_0 = w_1."""
+    from scipy.spatial.transform import Rotation
+
+    q = np.asarray(quats_wxyz, np.float64)
+    r = Rotation.from_quat(q[:, [1, 2, 3, 0]])  # xyzw
+    rel = r[1:] * r[:-1].inv()  # left difference
+    dt = np.diff(np.asarray(ts, np.float64))
+    w = rel.as_rotvec() / dt[:, None]
+    return np.concatenate([w[:1], w])
+
+
 class Golden:
     """ctypes wrapper over one reference SyncProblem."""
 
-    def __init__(self, lib, scene, us_intake=False):
+    def __init__(self, lib, scene, intake="fixed"):
         self.lib = lib
         self.p = lib.golden_create()
         q = np.ascontiguousarray(scene.quats_wxyz, np.float64)
         assert q.shape[1] == 4
         self._keep = [q]
-        if us_intake:
+        if intake == "us":
             # exercise the variable-rate intake (50 Hz rounding + SLERP
             # resample, ref core_private.cpp:142-190)
             ts_us = np.ascontiguousarray(
@@ -90,7 +111,22 @@ class Golden:
             lib.golden_set_gyro_us(
                 self.p, ts_us.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 _dp(q), q.shape[0])
+        elif intake == "interp":
+            # the reference driver's `#if 0` path (core_testcode.cpp:
+            # 20-35): angular-rate log -> gyro_interpolate resample ->
+            # fixed-dt integration -> fixed-rate overload
+            rates = np.ascontiguousarray(
+                rates_from_quats(q, scene.gyro_ts), np.float64)
+            ts = np.ascontiguousarray(scene.gyro_ts, np.float64)
+            self._keep += [rates, ts]
+            self.rates = rates
+            first = ctypes.c_double()
+            self.interp_rate = lib.golden_fill_gyro_interp(
+                self.p, _dp(ts), _dp(rates), ts.shape[0],
+                ctypes.byref(first))
+            self.interp_first_ts = first.value
         else:
+            assert intake == "fixed"
             lib.golden_set_gyro_fixed(
                 self.p, _dp(q), q.shape[0], float(scene.gyro_rate),
                 float(scene.gyro_ts[0]))
@@ -201,7 +237,16 @@ SCENES = {
     # SLERP resample) on BOTH engines
     "varrate": dict(seed=21, true_delay=0.0305, n_frames=12, n_points=60,
                     rate_jitter=0.35),
+    # round-4 addition (VERDICT r3 #6): the reference driver's `#if 0`
+    # fixed-rate path (gyro_interpolate at 213 -> 200 Hz + fixed-dt
+    # integration + fixed-rate overload) on BOTH engines, from an
+    # angular-rate log
+    "interp": dict(seed=34, true_delay=-0.0117, n_frames=12, n_points=60,
+                   rate_jitter=0.3, gyro_rate=213.0),
 }
+
+#: scenes fed through the driver's gyro_interpolate path
+INTERP_SCENES = {"interp"}
 
 PROBE_DELAYS = [-0.05, -0.0442, 0.0, 0.013, 0.05]
 PROBE_M = np.array([0.267261, 0.534522, 0.801784])
@@ -213,12 +258,25 @@ def main():
     out = {}
     for name, cfg in SCENES.items():
         scene = make_scene(**cfg)
-        g = Golden(lib, scene, us_intake=cfg.get("rate_jitter", 0.0) > 0.0)
+        if name in INTERP_SCENES:
+            intake = "interp"
+        elif cfg.get("rate_jitter", 0.0) > 0.0:
+            intake = "us"
+        else:
+            intake = "fixed"
+        g = Golden(lib, scene, intake=intake)
         F = cfg["n_frames"]
         # the effective spline params differ from the raw log under the
         # us intake (50 Hz rounding + resample); export for test parity
         out[f"{name}/gyro_params"] = np.array(
             [g.lib.golden_sample_rate(g.p), g.lib.golden_quats_start(g.p)])
+        if intake == "interp":
+            # the rate log the rebuild must push through its own
+            # gyro_interpolate + fixed-rate integration
+            out[f"{name}/rates"] = g.rates
+            out[f"{name}/rates_ts"] = np.asarray(scene.gyro_ts, np.float64)
+            out[f"{name}/interp_params"] = np.array(
+                [float(g.interp_rate), g.interp_first_ts])
 
         for d in PROBE_DELAYS:
             for f in (0, F // 2, F - 2):

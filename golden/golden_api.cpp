@@ -8,7 +8,11 @@
 
 #include <core_private.hpp>
 
+#include <cmath>
 #include <cstdint>
+#include <vector>
+
+#include <quat.hpp>
 
 // defined in the reference's core_private.cpp (external linkage, no
 // declaration in the header)
@@ -111,6 +115,53 @@ void golden_spline_eval(void* p, double t, double* out4) {
     auto& problem = static_cast<SyncProblemPrivate*>(p)->problem;
     arma::mat q = problem.quats.eval(t);
     for (int i = 0; i < 4; ++i) out4[i] = q[i];
+}
+
+// The reference driver's disabled fixed-rate intake path
+// (core_testcode.cpp:20-35, the `#if 0` branch): gyro_interpolate
+// resample, fixed-dt quaternion integration with the reference's own
+// quat_from_aa/quat_prod, then the fixed-rate SetGyroQuaternions
+// overload. The resample mirrors signal.cpp:62-85 over raw arrays
+// (the shim armadillo has no interp1; arma::interp1's default is
+// plain linear interpolation and the query grid lies strictly inside
+// [front, back), so the semantics are unambiguous). ts: (n,) seconds;
+// gyro: (n, 3) rad/s row-major. Returns the rounded sample rate;
+// *out_first_ts = the resampled grid's first timestamp.
+int golden_fill_gyro_interp(void* p, const double* ts, const double* gyro,
+                            size_t n, double* out_first_ts) {
+    // --- gyro_interpolate (signal.cpp:62-85) ---
+    double actual_sr = double(n) / (ts[n - 1] - ts[0]);
+    int rounded_sr = int(std::round(actual_sr / 50) * 50);
+    std::vector<double> nts;
+    for (double sample = std::ceil(ts[0] * rounded_sr);
+         sample / rounded_sr < ts[n - 1]; sample += 1)
+        nts.push_back(sample / rounded_sr);
+    size_t m = nts.size();
+    std::vector<double> ng(3 * m);  // column r of sample j at ng[3*j+r]
+    size_t k = 0;
+    for (size_t j = 0; j < m; ++j) {
+        double t = nts[j];
+        while (k + 2 < n && ts[k + 1] <= t) ++k;
+        double w = (t - ts[k]) / (ts[k + 1] - ts[k]);
+        for (int r = 0; r < 3; ++r)
+            ng[3 * j + r] =
+                gyro[3 * k + r] + w * (gyro[3 * (k + 1) + r] - gyro[3 * k + r]);
+    }
+    // --- fixed-dt integration (core_testcode.cpp:27-33) ---
+    double sample_rate = rounded_sr;
+    arma::mat quats(4, m);
+    // (the driver writes `quats.col(0) = {1, 0, 0, 0}`; the shim's
+    // initializer-list mat is 1x4, so spell out the column)
+    for (int r = 0; r < 4; ++r) quats.at(r, 0) = r == 0 ? 1.0 : 0.0;
+    for (size_t i = 1; i < m; ++i) {
+        arma::vec3 aa;
+        for (int r = 0; r < 3; ++r) aa[r] = ng[3 * i + r] / sample_rate;
+        quats.col(i) = arma::normalise(quat_prod(quat_from_aa(aa), quats.col(i - 1)));
+    }
+    static_cast<SyncProblemPrivate*>(p)->SetGyroQuaternions(quats.mem.data(), m, sample_rate,
+                                                            nts.front());
+    *out_first_ts = nts.front();
+    return rounded_sr;
 }
 
 double golden_sample_rate(void* p) {

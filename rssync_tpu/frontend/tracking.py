@@ -1149,25 +1149,68 @@ def lk_track_video_chunked(
     "pts_static", "chunk", "levels", "radius", "iters"))
 def _lk_track_video_chunked_jit(frames, pts_static, chunk, levels, radius,
                                 iters):
+    """Hoisted chunked tracker (round 4, ROADMAP #1): the pyramid,
+    the coarse init, and every fine level's templates are computed
+    ONCE for the whole clip; the per-chunk `lax.map` body only fetches
+    search strips (straight from the full-clip level arrays at
+    per-pair frame indices — no (chunk+1, H, W) block copies) and runs
+    the Gauss-Newton iterations. Replaces the per-chunk
+    dynamic_slice + pyramid + template machinery that sat ~0.2 ms/pair
+    above the traffic floor (experiments/r3_floor.py)."""
     T, H, W = frames.shape
     n_chunks = (T - 1) // chunk
-    starts = jnp.arange(n_chunks) * chunk
     pts = np.asarray(pts_static, np.float32)
+    N = pts.shape[0]
 
-    # level-0 storage padding once for the whole clip; per-chunk level
-    # padding is folded into the pyramid weights (_down_mat_stored)
-    fine0 = 0 in {l for l, *_ in _fine_plan(levels, iters, radius)}
-    frames_p = _pad_lanes(frames, fine0)
-    Hp, Wp = frames_p.shape[-2:]
+    need = _needed_levels(levels, iters, radius)
+    plan_fine = _fine_plan(levels, iters, radius)
+    fine = {l for l, *_ in plan_fine}
+    pad_plan = {l: "fine" if l in fine else "lane" for l in need}
+    frames_p = _pad_lanes(frames, 0 in fine)
+
+    # full-clip pyramid (storage padding folded into the weights)
+    pyr = build_pyramid_sparse(frames_p, levels, need, (H, W), pad_plan)
+
+    entry = plan_fine[0][0]
+    if levels > entry + 1:
+        lvl_glob = levels - 1
+        lvl_vol = max(entry + 1, lvl_glob - 2)
+        pairs = {
+            lvl: (pyr[lvl][:-1], pyr[lvl][1:]) for lvl in {lvl_glob, lvl_vol}
+        }
+        hg = pyr[lvl_glob].shape[-2:]
+        D_glob = max(2, min(hg) // 3)
+        d_all = _coarse_init(pairs, lvl_vol, lvl_glob, pts, D_glob)
+    else:
+        d_all = jnp.zeros((T - 1, N, 2), jnp.float32)
+
+    # templates for every frame once per fine level (the last frame's
+    # are computed-but-unused — cheaper than a (T-1)-slice copy)
+    pts_lvl = {lvl: pts / float(2**lvl) for lvl, *_ in plan_fine}
+    tmpl_all = {
+        lvl: _lk_templates(pyr[lvl], pts_lvl[lvl], r_l)
+        for lvl, _i, _m, r_l in plan_fine
+    }
+
+    starts = jnp.arange(n_chunks) * chunk
 
     def one(start):
-        blk = jax.lax.dynamic_slice(
-            frames_p, (start, 0, 0), (chunk + 1, Hp, Wp))
-        return _lk_video_core(blk, pts, levels, radius, iters,
-                              logical_hw=(H, W))
+        d = jax.lax.dynamic_slice(d_all, (start, 0, 0), (chunk, N, 2))
+        fidx = start + 1 + jnp.arange(chunk, dtype=jnp.int32)
+        for lvl, it_l, m_l, r_l in plan_fine:
+            scale = float(2**lvl)
+            tmpl = {
+                k: jax.lax.dynamic_slice_in_dim(v, start, chunk, axis=0)
+                for k, v in tmpl_all[lvl].items()
+            }
+            d = _lk_iterate(
+                pyr[lvl], pts_lvl[lvl], d / scale, tmpl, r_l, it_l, m_l,
+                jax.lax.Precision.HIGHEST, fidx=fidx,
+            ) * scale
+        return jnp.asarray(pts, jnp.float32)[None] + d
 
     out = jax.lax.map(one, starts)  # (n_chunks, chunk, N, 2)
-    return out.reshape(T - 1, pts.shape[0], 2)
+    return out.reshape(T - 1, N, 2)
 
 
 # ---------------------------------------------------------------------------

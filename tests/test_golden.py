@@ -44,6 +44,8 @@ SCENES = {
                     translation_speed=2.5),
     "varrate": dict(seed=21, true_delay=0.0305, n_frames=12, n_points=60,
                     rate_jitter=0.35),
+    "interp": dict(seed=34, true_delay=-0.0117, n_frames=12, n_points=60,
+                   rate_jitter=0.3, gyro_rate=213.0),
 }
 PROBE_DELAYS = [-0.05, -0.0442, 0.0, 0.013, 0.05]
 PROBE_M = np.array([0.267261, 0.534522, 0.801784])
@@ -58,7 +60,24 @@ def golden():
 def _problem(name):
     cfg = SCENES[name]
     scene = make_scene(**cfg)
-    if cfg.get("rate_jitter", 0.0) > 0.0:
+    if name == "interp":
+        # the reference driver's `#if 0` fixed-rate path
+        # (core_testcode.cpp:20-35) on BOTH engines: the golden npz
+        # carries the exact angular-rate log the reference consumed;
+        # the rebuild pushes it through its own gyro_interpolate +
+        # fixed-dt integration + fixed-rate intake
+        from rssync_tpu.frontend.integrate import integrate_gyro_fixed_rate
+        from rssync_tpu.ops.signal import gyro_interpolate
+
+        g = np.load(GOLDEN)
+        new_ts, new_g, rate = gyro_interpolate(
+            g["interp/rates_ts"], g["interp/rates"].T
+        )
+        quats = integrate_gyro_fixed_rate(new_g.T, float(rate))
+        table = make_spline_table(quats, float(rate))
+        quats_start = float(new_ts[0])
+        sample_rate = float(rate)
+    elif cfg.get("rate_jitter", 0.0) > 0.0:
         # variable-rate scene: the micro-second intake path (50 Hz
         # rounding + SLERP resample, ref core_private.cpp:142-190) on
         # BOTH engines — golden/generate.py feeds golden_set_gyro_us
@@ -237,15 +256,21 @@ def test_sync_trajectory_matches_reference(golden, name):
         n_it = int(res.iterations)
         assert abs(n_it - len(traj_ref)) <= 1, (n_it, len(traj_ref))
         m = min(len(traj_ref), n_it)
+        # interp's table is rates->resample->reintegrate: the extra
+        # interpolation noise flattens the loss near convergence, so
+        # later-pass iterates wander ~5e-5 around the same minimum
+        # (final-offset parity is still pinned by
+        # test_sync_matches_reference and the 0.08 ms truth error)
+        atol = 1e-4 if name == "interp" else 3e-5
         if m:
             ours = np.asarray(res.trace_delay)[:m]
             np.testing.assert_allclose(
-                ours, traj_ref[:m, 0], atol=3e-5,
+                ours, traj_ref[:m, 0], atol=atol,
                 err_msg=f"{name} pass {p}",
             )
             steps = np.abs(np.asarray(res.trace_step)[:m])
             np.testing.assert_allclose(
-                steps, traj_ref[:m, 1], atol=3e-5,
+                steps, traj_ref[:m, 1], atol=atol,
                 err_msg=f"{name} pass {p} steps",
             )
         delay = res.delay
