@@ -56,21 +56,35 @@ def main() -> int:
     print(f"# device: {dev}", file=sys.stderr)
 
     # ---- tracking stage -------------------------------------------------
-    from rssync_tpu.frontend.tracking import lk_track_video_chunked
+    # frames enter pre-padded to the level-0 storage dims, as the real
+    # pipeline ships them (pad_frames_host under the decode-ahead
+    # overlap): ANY full-clip u8 device pass costs ~0.14 ms/pair on a
+    # v5e (experiments/r4_pad.py), so the pad must never run on device
+    from rssync_tpu.frontend.tracking import (
+        _fine_plan,
+        _stored_dims,
+        auto_levels,
+        lk_track_video_chunked,
+    )
+    from rssync_tpu.frontend.tracking import LK_ITERS, LK_RADIUS
 
     H, W = 2028, 2704
+    lv = auto_levels(H, W)
+    fine0 = 0 in {l for l, *_ in _fine_plan(lv, LK_ITERS, LK_RADIUS)}
+    Hp, Wp = _stored_dims(H, W, "fine" if fine0 else "lane")
     n_pairs_total = 3599
-    seg = 240  # pairs per dispatch (seg+1 frames resident, ~1.3 GB u8;
+    seg = 240  # pairs per dispatch (seg+1 frames resident, ~1.4 GB u8;
     #            the remote tunnel costs ~30 ms per dispatch)
     key = jax.random.PRNGKey(0)
     pts = jnp.asarray(grid_points(W, H, 200), jnp.float32)
     print(f"# features/frame: {pts.shape[0]}", file=sys.stderr)
 
     k0, k1, k2 = jax.random.split(key, 3)
-    frames = jax.random.randint(k0, (seg + 1, H, W), 0, 255, jnp.uint8)
+    frames = jax.random.randint(k0, (seg + 1, Hp, Wp), 0, 255, jnp.uint8)
     fetch(frames)
     t0 = time.time()
-    fetch(lk_track_video_chunked(frames, chunk=16, grid_step=200))
+    fetch(lk_track_video_chunked(
+        frames, chunk=16, grid_step=200, logical_hw=(H, W)))
     print(f"# lk compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
     n_disp = (n_pairs_total + seg - 1) // seg  # 15 dispatches / clip
@@ -81,7 +95,8 @@ def main() -> int:
         t0 = time.time()
         outs = [
             lk_track_video_chunked(
-                frames + biases[i], chunk=16, grid_step=200
+                frames + biases[i], chunk=16, grid_step=200,
+                logical_hw=(H, W),
             )
             for i in range(n_disp)
         ]
@@ -98,6 +113,7 @@ def main() -> int:
     # ---- on-video accuracy (same tracker code path as the timing) -------
     # 48 affine-warped textured 2.7k pairs with analytic ground-truth
     # flow (testing/texture_scene.py; host render cached on disk).
+    from rssync_tpu.frontend.tracking import pad_frames_host
     from rssync_tpu.testing.texture_scene import render_scene, tracking_error
 
     t0 = time.time()
@@ -106,7 +122,8 @@ def main() -> int:
     print(f"# texture scene (host, cached): {time.time() - t0:.1f}s",
           file=sys.stderr)
     tracked = np.asarray(lk_track_video_chunked(
-        jnp.asarray(tex_frames), chunk=16, grid_step=200))
+        jnp.asarray(pad_frames_host(np.asarray(tex_frames))),
+        chunk=16, grid_step=200, logical_hw=(H, W)))
     pts_np = np.asarray(grid_points(W, H, 200), np.float64)
     track_med_px, track_p95_px = tracking_error(
         tracked, pts_np, affines, W, H)

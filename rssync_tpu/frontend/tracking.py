@@ -1091,17 +1091,21 @@ def lk_track_video(
     radius: int = LK_RADIUS,
     iters: int = LK_ITERS,
     grid_step: int | None = None,
+    logical_hw: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Track the shared grid across all consecutive pairs of a frame
     block: (B, H, W) -> (B-1, N, 2). pts=None uses the reference
-    feature grid (grid_step; auto from the resolution)."""
+    feature grid (grid_step; auto from the resolution). logical_hw:
+    the unpadded (H, W) when frames are pre-padded (pad_frames_host)."""
+    H, W = logical_hw if logical_hw is not None else frames.shape[1:3]
     if levels is None:
-        levels = auto_levels(frames.shape[1], frames.shape[2])
+        levels = auto_levels(H, W)
     if pts is None:
-        step = grid_step or auto_grid_step(frames.shape[2])
-        pts = grid_points(frames.shape[2], frames.shape[1], step)
+        step = grid_step or auto_grid_step(W)
+        pts = grid_points(W, H, step)
     return _lk_track_video_jit(
-        frames, _static_pts(pts), levels, radius, iters
+        frames, _static_pts(pts), levels, radius, iters,
+        logical_hw if logical_hw is not None else None,
     )
 
 
@@ -1112,10 +1116,44 @@ def _static_pts(pts) -> tuple:
     return tuple(map(tuple, np.asarray(pts, np.float32).tolist()))
 
 
-@partial(jax.jit, static_argnames=("pts_static", "levels", "radius", "iters"))
-def _lk_track_video_jit(frames, pts_static, levels, radius, iters):
+@partial(jax.jit, static_argnames=(
+    "pts_static", "levels", "radius", "iters", "logical_hw"))
+def _lk_track_video_jit(frames, pts_static, levels, radius, iters,
+                        logical_hw=None):
     pts = np.asarray(pts_static, np.float32)
-    return _lk_video_core(frames, pts, levels, radius, iters)
+    if logical_hw is not None:
+        fine0 = 0 in {l for l, *_ in _fine_plan(levels, iters, radius)}
+        exp = _stored_dims(*logical_hw, "fine" if fine0 else "lane")
+        if frames.shape[1:3] != exp:
+            raise ValueError(
+                f"pre-padded frames {frames.shape[1:3]} != expected {exp} "
+                f"for logical {logical_hw}"
+            )
+    return _lk_video_core(frames, pts, levels, radius, iters,
+                          logical_hw=logical_hw)
+
+
+def pad_frames_host(frames: np.ndarray, levels: int | None = None,
+                    radius: int = LK_RADIUS,
+                    iters: int = LK_ITERS) -> np.ndarray:
+    """Edge-pad a (T, H, W) frame block to the tracker's level-0
+    storage dims ON THE HOST (numpy). Feeding pre-padded frames +
+    logical_hw to lk_track_video_chunked skips the on-device pad pass
+    — measured 0.18 ms/pair on a v5e for the full-clip u8 edge pad
+    (experiments/r4_pad.py: ANY full u8 device pass costs ~0.14
+    ms/pair; the host memcpy is free under the decode-ahead overlap)."""
+    T, H, W = frames.shape
+    if levels is None:
+        levels = auto_levels(H, W)
+    fine0 = 0 in {l for l, *_ in _fine_plan(levels, iters, radius)}
+    Hp, Wp = _stored_dims(H, W, "fine" if fine0 else "lane")
+    if (Hp, Wp) == (H, W):
+        return frames
+    out = np.empty((T, Hp, Wp), frames.dtype)
+    out[:, :H, :W] = frames
+    out[:, H:, :W] = frames[:, -1:, :]
+    out[:, :, W:] = out[:, :, W - 1 : W]
+    return out
 
 
 def lk_track_video_chunked(
@@ -1126,91 +1164,79 @@ def lk_track_video_chunked(
     radius: int = LK_RADIUS,
     iters: int = LK_ITERS,
     grid_step: int | None = None,
+    logical_hw: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Track (T, H, W) consecutive frames -> (T-1, N, 2) in ONE
     dispatch: `lax.map` over chunk-sized blocks inside the jit (the
     remote-dispatch overhead of this environment is ~30 ms per call).
     Requires (T-1) % chunk == 0 (callers pad by repeating the last
-    frame; repeated frames track to zero flow)."""
+    frame; repeated frames track to zero flow).
+
+    logical_hw: pass the unpadded (H, W) when `frames` already carry
+    the level-0 storage padding (see pad_frames_host) — skips the
+    expensive on-device pad pass."""
+    H, W = logical_hw if logical_hw is not None else frames.shape[1:3]
     if levels is None:
-        levels = auto_levels(frames.shape[1], frames.shape[2])
+        levels = auto_levels(H, W)
     T = frames.shape[0]
     if (T - 1) % chunk:
         raise ValueError(f"(T-1)={T - 1} must be a multiple of chunk={chunk}")
     if pts is None:
-        step = grid_step or auto_grid_step(frames.shape[2])
-        pts = grid_points(frames.shape[2], frames.shape[1], step)
+        step = grid_step or auto_grid_step(W)
+        pts = grid_points(W, H, step)
     return _lk_track_video_chunked_jit(
-        frames, _static_pts(pts), chunk, levels, radius, iters
+        frames, _static_pts(pts), chunk, levels, radius, iters, (H, W)
     )
 
 
 @partial(jax.jit, static_argnames=(
-    "pts_static", "chunk", "levels", "radius", "iters"))
+    "pts_static", "chunk", "levels", "radius", "iters", "logical_hw"))
 def _lk_track_video_chunked_jit(frames, pts_static, chunk, levels, radius,
-                                iters):
-    """Hoisted chunked tracker (round 4, ROADMAP #1): the pyramid,
-    the coarse init, and every fine level's templates are computed
-    ONCE for the whole clip; the per-chunk `lax.map` body only fetches
-    search strips (straight from the full-clip level arrays at
-    per-pair frame indices — no (chunk+1, H, W) block copies) and runs
-    the Gauss-Newton iterations. Replaces the per-chunk
-    dynamic_slice + pyramid + template machinery that sat ~0.2 ms/pair
-    above the traffic floor (experiments/r3_floor.py)."""
-    T, H, W = frames.shape
+                                iters, logical_hw=None):
+    """Per-chunk structure: each `lax.map` iteration slices its
+    (chunk+1)-frame block and runs the full pipeline (pyramid, coarse
+    init, templates, iterations) on it.
+
+    Round-4 negative result (experiments/r4_oldstruct.py): hoisting
+    the pyramid + coarse init + templates out of the chunk loop and
+    reading search strips from full-clip arrays at per-pair frame
+    indices (the round-3 ROADMAP #1 plan, built via _lk_templates/
+    _lk_iterate's fidx path) measured 0.56 ms/pair vs 0.39 for this
+    per-chunk form on pre-padded frames — full-clip intermediates
+    (2.8 GB bf16 cast, 0.4 GB coarse volume) round-trip HBM between
+    phases, while per-chunk working sets stay cache-sized and fuse.
+    What DID pay: host-side storage padding (pad_frames_host +
+    logical_hw) — any full-clip u8 device pass costs ~0.14 ms/pair
+    (experiments/r4_pad.py), so the pad must never run on device."""
+    T = frames.shape[0]
+    H, W = logical_hw if logical_hw is not None else frames.shape[1:3]
     n_chunks = (T - 1) // chunk
-    pts = np.asarray(pts_static, np.float32)
-    N = pts.shape[0]
-
-    need = _needed_levels(levels, iters, radius)
-    plan_fine = _fine_plan(levels, iters, radius)
-    fine = {l for l, *_ in plan_fine}
-    pad_plan = {l: "fine" if l in fine else "lane" for l in need}
-    frames_p = _pad_lanes(frames, 0 in fine)
-
-    # full-clip pyramid (storage padding folded into the weights)
-    pyr = build_pyramid_sparse(frames_p, levels, need, (H, W), pad_plan)
-
-    entry = plan_fine[0][0]
-    if levels > entry + 1:
-        lvl_glob = levels - 1
-        lvl_vol = max(entry + 1, lvl_glob - 2)
-        pairs = {
-            lvl: (pyr[lvl][:-1], pyr[lvl][1:]) for lvl in {lvl_glob, lvl_vol}
-        }
-        hg = pyr[lvl_glob].shape[-2:]
-        D_glob = max(2, min(hg) // 3)
-        d_all = _coarse_init(pairs, lvl_vol, lvl_glob, pts, D_glob)
-    else:
-        d_all = jnp.zeros((T - 1, N, 2), jnp.float32)
-
-    # templates for every frame once per fine level (the last frame's
-    # are computed-but-unused — cheaper than a (T-1)-slice copy)
-    pts_lvl = {lvl: pts / float(2**lvl) for lvl, *_ in plan_fine}
-    tmpl_all = {
-        lvl: _lk_templates(pyr[lvl], pts_lvl[lvl], r_l)
-        for lvl, _i, _m, r_l in plan_fine
-    }
-
     starts = jnp.arange(n_chunks) * chunk
+    pts = np.asarray(pts_static, np.float32)
+
+    fine0 = 0 in {l for l, *_ in _fine_plan(levels, iters, radius)}
+    if (H, W) == frames.shape[1:3]:
+        # level-0 storage padding once for the whole clip; per-chunk
+        # level padding is folded into the pyramid weights
+        frames_p = _pad_lanes(frames, fine0)
+    else:  # pre-padded on host (pad_frames_host): must match exactly
+        exp = _stored_dims(H, W, "fine" if fine0 else "lane")
+        if frames.shape[1:3] != exp:
+            raise ValueError(
+                f"pre-padded frames {frames.shape[1:3]} != expected {exp} "
+                f"for logical {(H, W)}"
+            )
+        frames_p = frames
+    Hp, Wp = frames_p.shape[-2:]
 
     def one(start):
-        d = jax.lax.dynamic_slice(d_all, (start, 0, 0), (chunk, N, 2))
-        fidx = start + 1 + jnp.arange(chunk, dtype=jnp.int32)
-        for lvl, it_l, m_l, r_l in plan_fine:
-            scale = float(2**lvl)
-            tmpl = {
-                k: jax.lax.dynamic_slice_in_dim(v, start, chunk, axis=0)
-                for k, v in tmpl_all[lvl].items()
-            }
-            d = _lk_iterate(
-                pyr[lvl], pts_lvl[lvl], d / scale, tmpl, r_l, it_l, m_l,
-                jax.lax.Precision.HIGHEST, fidx=fidx,
-            ) * scale
-        return jnp.asarray(pts, jnp.float32)[None] + d
+        blk = jax.lax.dynamic_slice(
+            frames_p, (start, 0, 0), (chunk + 1, Hp, Wp))
+        return _lk_video_core(blk, pts, levels, radius, iters,
+                              logical_hw=(H, W))
 
     out = jax.lax.map(one, starts)  # (n_chunks, chunk, N, 2)
-    return out.reshape(T - 1, N, 2)
+    return out.reshape(T - 1, pts.shape[0], 2)
 
 
 # ---------------------------------------------------------------------------
@@ -1565,9 +1591,14 @@ def track_frames(
                     f"{frames[0].index}..{frames[-1].index - 1}",
                     flush=True,
                 )
-            stack = jnp.asarray(np.stack([f.gray for f in frames]))  # u8
+            # storage-pad on the host (free under the decode overlap):
+            # skips the ~0.18 ms/pair on-device u8 pad pass
+            stack = jnp.asarray(
+                pad_frames_host(np.stack([f.gray for f in frames]))
+            )  # u8
             fut = lk_track_video(
-                stack, grid_step=grid_step or auto_grid_step(width)
+                stack, grid_step=grid_step or auto_grid_step(width),
+                logical_hw=(height, width),
             )  # async dispatch; not fetched yet
             pending.append((frames, fut))
             if len(pending) >= DEPTH:

@@ -235,3 +235,33 @@ def test_padded_pyramid_matches_pad_after_build(rng):
         assert got.shape == want.shape, l
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
         assert got.shape[-2] >= _lvl_size(H, 0, l)
+
+
+def test_prepadded_frames_match_device_pad(rng):
+    """pad_frames_host + logical_hw (host-side storage padding; skips
+    the ~0.18 ms/pair on-device u8 pad pass, experiments/r4_pad.py)
+    must be bit-identical to the device-pad path for both the chunked
+    and the per-block tracker entry points."""
+    from rssync_tpu.frontend import tracking as T
+
+    H, W = 260, 400
+    frames = rng.integers(0, 255, (9, H, W)).astype(np.uint8)
+    fp = T.pad_frames_host(frames)
+    assert fp.shape[1] % 8 == 0 and fp.shape[2] % 128 == 0
+    # edge-replicated padding
+    np.testing.assert_array_equal(fp[:, H:, :W], np.repeat(
+        frames[:, -1:, :], fp.shape[1] - H, axis=1))
+    np.testing.assert_array_equal(fp[:, :, W:], np.repeat(
+        fp[:, :, W - 1 : W], fp.shape[2] - W, axis=2))
+
+    a = np.asarray(T.lk_track_video(jnp.asarray(frames), grid_step=80))
+    b = np.asarray(T.lk_track_video(
+        jnp.asarray(fp), grid_step=80, logical_hw=(H, W)))
+    np.testing.assert_array_equal(a, b)
+
+    c = np.asarray(T.lk_track_video_chunked(
+        jnp.asarray(frames), chunk=4, grid_step=80))
+    d = np.asarray(T.lk_track_video_chunked(
+        jnp.asarray(fp), chunk=4, grid_step=80, logical_hw=(H, W)))
+    np.testing.assert_array_equal(c, d)
+    np.testing.assert_array_equal(a, c)
