@@ -87,19 +87,30 @@ def main() -> int:
         frames, chunk=16, grid_step=200, logical_hw=(H, W)))
     print(f"# lk compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # defeat the runtime's identical-execution dedup with a donated
+    # 8-row in-place perturbation instead of a full-frame +bias add —
+    # the add was itself a full u8 pass, ~0.026 ms/pair of pure
+    # measurement artifact (experiments/r4_bench_track.py)
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=0)
+    def perturb(fr, b):
+        return fr.at[:, :8, :].add(b)
+
     n_disp = (n_pairs_total + seg - 1) // seg  # 15 dispatches / clip
+    biases = jax.random.randint(k1, (2 * n_disp,), 0, 100, jnp.uint8)
+    fetch(biases)
+    frames = perturb(frames, biases[0])  # warm the perturb executable
+    fetch(lk_track_video_chunked(
+        frames, chunk=16, grid_step=200, logical_hw=(H, W)))
     track_best = np.inf
-    for krep in (k1, k2):
-        biases = jax.random.randint(krep, (n_disp,), 0, 100, jnp.uint8)
-        fetch(biases)
+    for rep in range(2):
         t0 = time.time()
-        outs = [
-            lk_track_video_chunked(
-                frames + biases[i], chunk=16, grid_step=200,
-                logical_hw=(H, W),
-            )
-            for i in range(n_disp)
-        ]
+        outs = []
+        for i in range(n_disp):
+            frames = perturb(frames, biases[rep * n_disp + i])
+            outs.append(lk_track_video_chunked(
+                frames, chunk=16, grid_step=200, logical_hw=(H, W)))
         for o in outs:
             fetch(o)
         track_best = min(track_best, time.time() - t0)

@@ -65,6 +65,15 @@ def window_cost(
     return cost_with_motion(P, M, win.frame_mask)
 
 
+# NOTE (round-4 negative result, experiments/r4_presync.py): a
+# `chunk_costs` variant that flattened (delay-chunk x window x frame)
+# into one row axis for the scoring kernel — 2.7x fewer, larger Pallas
+# programs via guess_motion_rows — measured 299 vs 283 ms at the
+# operating point: the (K, W, 3, F, N) -> (3, K*W*F, N) transpose
+# costs more than the program merging saves. The per-(delay, window)
+# vmap structure below stays.
+
+
 @partial(jax.jit, static_argnames=("wide",))
 def presync_scan(
     table: SplineTable,

@@ -77,10 +77,19 @@ def guess_motion_from_pairs(
     # range is representable; half the traffic) and 14 halvings
     # resolve the quantile to ~range * 6e-5 — both far below the
     # hypothesis-RNG noise that already decides near-tied hypotheses.
+    from rssync_tpu.ops.pallas_score import BISECT_ROUNDS, MARKOV_C
+
     k = jnp.maximum(count, 1) // 4
     res2m = jnp.where(valid, res2, jnp.inf).astype(jnp.bfloat16)
     lo = jnp.zeros((res2.shape[0],), res2.dtype)
-    hi = jnp.max(jnp.where(valid, res2, 0.0), axis=-1)
+    # Markov upper bracket: > half the valid values sit at or below
+    # 2*mean, so it always brackets the quartile and is typically
+    # 30-100x tighter than max on these heavy-tailed residuals —
+    # 10 rounds resolve finer than 14 did on [0, max]
+    # (ops/pallas_score.py, kept numerically identical here)
+    masked = jnp.where(valid, res2, 0.0)
+    mu = jnp.sum(masked, axis=-1) / jnp.maximum(count, 1)
+    hi = jnp.minimum(jnp.max(masked, axis=-1), MARKOV_C * mu)
 
     def bisect(_, carry):
         lo, hi = carry
@@ -89,7 +98,7 @@ def guess_motion_from_pairs(
         ge = cnt >= k + 1
         return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
-    lo, hi = jax.lax.fori_loop(0, 14, bisect, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, BISECT_ROUNDS, bisect, (lo, hi))
     med = hi  # upper bound brackets the k-th smallest
     best = jnp.argmin(med)
     v_best = v[:, best]
@@ -129,13 +138,29 @@ def guess_motion_window(
     volume from HBM 14x and dominates PreSync); elsewhere it keeps
     the original XLA bisect numerics exactly.
     """
-    from rssync_tpu.ops import pallas_score as PSC
-
-    F, N = P.shape[1], P.shape[2]
+    F = P.shape[1]
     keys = jax.random.split(key, F)
     r0, r1 = jax.vmap(lambda k, c: sample_pairs(k, iters, c))(
         keys, counts
     )  # (F, iters) each
+    return guess_motion_rows(P, counts, r0, r1, impl)
+
+
+def guess_motion_rows(
+    P: jnp.ndarray, counts, r0: jnp.ndarray, r1: jnp.ndarray,
+    impl: str | None = None,
+) -> jnp.ndarray:
+    """Row-batched guesser core: each of the F rows of P (3, F, N) is
+    an independent RANSAC problem with its own pre-drawn pairs. The
+    row axis may be ANY flattening of batch axes — PreSync flattens
+    (delay-chunk x windows x frames) into it so the Pallas scoring
+    kernel sees one big grid instead of thousands of per-(delay,
+    window) programs (per-program overhead dominated the stage,
+    experiments/r3_presync_split.py)."""
+    from rssync_tpu.ops import pallas_score as PSC
+
+    F, N = P.shape[1], P.shape[2]
+    iters = r0.shape[-1]
 
     Pn2 = jnp.sum(P * P, axis=0)  # (F, N)
     inv = jnp.where(Pn2 < 1e-24, 1.0, jax.lax.rsqrt(jnp.maximum(Pn2, 1e-30)))

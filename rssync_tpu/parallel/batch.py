@@ -94,6 +94,12 @@ def batched_presync(
 
     def one_chunk(args):
         ds, ks = args  # (K,), (K, W, 2)
+        # NOTE (r4 negative result, experiments/r4_presync.py):
+        # flattening (delay x window x frame) into one row axis for
+        # the scoring kernel (2.7x fewer Pallas programs) measured
+        # 299 vs 283 ms — the (K, W, 3, F, N) -> (3, K*W*F, N)
+        # transpose costs more than the program merging saves. The
+        # per-(delay, window) vmap stays.
         if bands is None:
             per_win = lambda d, kk: jax.vmap(
                 lambda win, k: window_cost(table, win, d, k)
