@@ -42,7 +42,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import lru_cache, partial
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import numpy as np
 import jax
@@ -1448,6 +1448,43 @@ class FrameFeed:
             self.close()
 
 
+def _range_feeds(
+    video_path: str,
+    ranges: Sequence[tuple[int, int]],
+    raw_luma: bool = True,
+    n_workers: int | None = None,
+) -> Iterator[Iterator[Frame]]:
+    """One frame iterator per PAIR range (decoding [pb, pe+1) each).
+
+    Picks the decode backend by available parallelism: with >1 CPU a
+    multiprocess DecodePool shards GOP-amortized chunks across decoder
+    processes (parallel decode — the host bottleneck on real video);
+    on a single core the decode-ahead FrameFeed thread (no spawn cost,
+    still overlaps device tracking). Both yield bit-identical frames
+    (tests/test_tracking.py pins pool-vs-serial equality)."""
+    from rssync_tpu.frontend.decode_pool import DecodePool, available_workers
+
+    n = available_workers(n_workers)
+    if n <= 1 or len(ranges) == 0:
+        for pb, pe in ranges:
+            yield iter(FrameFeed(video_path, pb, pe + 1, raw_luma=raw_luma))
+        return
+    probe = VideoSource(video_path, raw_luma=raw_luma)
+    raw, h, w = probe._raw, probe.height, probe.width
+    probe.cap.release()
+    pool = DecodePool(
+        video_path, [(pb, pe + 1) for pb, pe in ranges], h, w, raw, n
+    )
+    try:
+        for i in range(len(ranges)):
+            yield (
+                Frame(index=idx, timestamp=ts, gray=g)
+                for idx, ts, g in pool.span_frames(i)
+            )
+    finally:
+        pool.close()
+
+
 # ---------------------------------------------------------------------------
 # full tracking stage
 
@@ -1478,6 +1515,30 @@ def _merge_pair_ranges(
         else:
             out.append([b, e])
     return [(b, e) for b, e in out]
+
+
+def emit_track_result(
+    problem, lens: lens_ops.Lens, pts: np.ndarray, pts_j: jnp.ndarray,
+    height: int, frame_idx: int, tracked, ts_cur: float, ts_nxt: float,
+) -> None:
+    """Feed one frame pair's tracked grid into `problem`: lift both
+    endpoints to unit rays, apply rolling-shutter timestamps, call
+    `set_track_result` (ref: core_testcode.cpp:140-157). Shared by the
+    real tracking stage and the engine compile-warming path (which
+    emits zero-flow tracks purely to reproduce the window SHAPES)."""
+    rays_a, rays_b = lift_rays(
+        lens, pts_j, jnp.asarray(tracked, jnp.float32)
+    )
+    ts_a, ts_b = rolling_shutter_ts(
+        lens, pts, tracked, ts_cur, ts_nxt, height
+    )
+    problem.set_track_result(
+        frame_idx,
+        np.asarray(ts_a, np.float64),
+        np.asarray(ts_b, np.float64),
+        np.asarray(rays_a, np.float64),
+        np.asarray(rays_b, np.float64),
+    )
 
 
 def track_frames(
@@ -1519,18 +1580,9 @@ def track_frames(
     pts_j = jnp.asarray(pts, jnp.float32)
 
     def emit(frame_idx, tracked, ts_cur, ts_nxt):
-        rays_a, rays_b = lift_rays(
-            lens, pts_j, jnp.asarray(tracked, jnp.float32)
-        )
-        ts_a, ts_b = rolling_shutter_ts(
-            lens, pts, tracked, ts_cur, ts_nxt, height
-        )
-        problem.set_track_result(
-            frame_idx,
-            np.asarray(ts_a, np.float64),
-            np.asarray(ts_b, np.float64),
-            np.asarray(rays_a, np.float64),
-            np.asarray(rays_b, np.float64),
+        emit_track_result(
+            problem, lens, pts, pts_j, height, frame_idx, tracked,
+            ts_cur, ts_nxt,
         )
 
     if method == "dis":
@@ -1571,8 +1623,7 @@ def track_frames(
                 p_frames[i + 1].timestamp,
             )
 
-    for pb, pe in ranges:
-        it = iter(FrameFeed(video_path, pb, pe + 1))
+    for (pb, pe), it in zip(ranges, _range_feeds(video_path, ranges)):
         carry: Frame | None = None
         done = False
         while not done:

@@ -100,9 +100,132 @@ def _window_pair_ranges(recipe: dict) -> list[tuple[int, int]] | None:
     ]
 
 
+def _presync_grid(initial_delay: float, radius: float, step: float) -> list:
+    """The reference's f64-accumulated delay grid
+    (ref core_private.cpp:69-70: `for (d = rough - radius;
+    d < rough + radius; d += step)`)."""
+    grid = []
+    d = initial_delay - radius
+    while d < initial_delay + radius:
+        grid.append(d)
+        d += step
+    return grid
+
+
+def _start_engine_warm(sp, lens, recipe: dict, progress: bool):
+    """Start compiling the engine's batched programs in a background
+    thread, overlapping the decode-bound tracking stage.
+
+    The windows' SHAPES are fully determined before any video decodes:
+    features/frame from the grid (video probe), frames/window and
+    window count from the recipe schedule, spline-table shapes from the
+    already-ingested gyro. A dummy problem (sharing the real spline
+    table) takes zero-flow tracks for the first window, builds one
+    open + one closed window, replicates them to the real window
+    count, and runs batched PreSync + Sync + DebugPreSync once —
+    populating the in-process jit cache so the real calls after
+    tracking skip their ~80 s of XLA compiles. (The persistent
+    compilation cache is NOT usable here: reloading the large
+    executables hangs under the remote backend — see
+    utils/timing.enable_compile_cache.)
+
+    Best-effort: any exception is reported (progress mode) and
+    swallowed — the real calls then just compile inline as before.
+    Returns the started Thread (join before the sync stage) or None.
+    """
+    import threading
+
+    from rssync_tpu.core.api import SyncProblem
+    from rssync_tpu.frontend.tracking import (
+        VideoSource,
+        auto_grid_step,
+        grid_points,
+        lift_rays,
+        rolling_shutter_ts,
+    )
+
+    inp = recipe["input"]
+    params = recipe["params"]
+    frame_start, frame_end = (int(v) for v in inp["frame_range"])
+    syncpoints = make_syncpoints(params, frame_start, frame_end)
+    if not syncpoints:
+        return None
+    sync_window = int(params["sync_window"])
+    initial_delay = float(inp.get("initial_guess", 0.0)) / 1000.0
+    use_presync = bool(inp.get("use_simple_presync", False))
+    presync_radius = float(inp.get("simple_presync_radius", 200.0)) / 1000.0
+    radius = presync_radius if use_presync else math.inf
+    step = float(inp.get("simple_presync_step", 2.0)) / 1000.0
+    debug_csv = recipe.get("output", {}).get("debug_csv_path", "debug.csv")
+
+    probe = VideoSource(inp["video_path"])
+    width, height, fps = probe.width, probe.height, probe.fps
+    probe.cap.release()
+    pts = grid_points(
+        width, height, inp.get("grid_step") or auto_grid_step(width)
+    )
+    pts_j = jnp.asarray(pts, jnp.float32)
+
+    def warm():
+        try:
+            dummy = SyncProblem(seed=0x5EED)
+            dummy._table = sp._table
+            dummy._sample_rate = sp._sample_rate
+            dummy._quats_start = sp._quats_start
+            # zero-flow tracks: rays are identical across frames
+            # (one device round-trip), only the RS timestamps differ
+            ra_j, rb_j = lift_rays(lens, pts_j, pts_j)
+            ra = np.asarray(ra_j, np.float64)
+            rb = np.asarray(rb_j, np.float64)
+            p0 = syncpoints[0]
+            for f in range(p0, p0 + sync_window + 1):
+                ts_a, ts_b = rolling_shutter_ts(
+                    lens, pts, pts, f / fps, (f + 1) / fps, height
+                )
+                dummy.set_track_result(f, ts_a, ts_b, ra, rb)
+            W = len(syncpoints)
+            table = dummy.spline_table
+            dtype = jnp.float32
+            wide = dummy._wide_ok(radius)
+            w_open = dummy.build_window(p0, p0 + sync_window, closed=False)
+            w_closed = dummy.build_window(p0, p0 + sync_window, closed=True)
+            wins_o = stack_windows([w_open] * W)
+            wins_c = stack_windows([w_closed] * W)
+            if debug_csv:
+                dummy.debug_pre_sync(
+                    initial_delay, p0, p0 + sync_window,
+                    presync_radius, DEBUG_PLOT_SIZE,
+                )
+            if use_presync:
+                grid = _presync_grid(initial_delay, radius, step)
+                _, d0 = batched_presync(
+                    table, wins_o,
+                    jnp.asarray(np.asarray(grid), dtype),
+                    dummy.next_key(), wide=wide,
+                )
+            else:
+                d0 = jnp.full((W,), initial_delay, dtype)
+            centers = jnp.full((W,), initial_delay, dtype)
+            res = batched_sync(
+                table, wins_c, d0, centers, radius, dummy.next_key(),
+                wide=wide,
+            )
+            np.asarray(res.delay)  # block until compiled + run
+            if progress:
+                print("# engine compile warm done", flush=True)
+        except Exception as e:  # noqa: BLE001 — warming is best-effort
+            if progress:
+                print(f"# engine compile warm failed: {e!r}", flush=True)
+
+    t = threading.Thread(target=warm, daemon=True, name="engine-warm")
+    t.start()
+    return t
+
+
 def _prepare_problem(
     recipe: dict, method, seed, track_cache_dir, timings, progress,
     decode_scope: str = "windows",
+    warm: bool = False,
 ):
     """Gyro + track intake for one recipe -> (SyncProblem, frame range).
 
@@ -131,6 +254,9 @@ def _prepare_problem(
         ranges = None
     else:
         raise ValueError(f"unknown decode_scope {decode_scope!r}")
+    warm_thread = (
+        _start_engine_warm(sp, lens, recipe, progress) if warm else None
+    )
     with timings.stage("tracking"):
         key = track_cache.cache_key(
             inp["video_path"], frame_start, frame_end,
@@ -145,6 +271,9 @@ def _prepare_problem(
                 method=method, progress=progress, ranges=ranges,
             ),
         )
+    if warm_thread is not None:
+        with timings.stage("warm_join"):
+            warm_thread.join()
     return sp, frame_start, frame_end
 
 
@@ -180,7 +309,7 @@ def run_recipe(
 
     sp, frame_start, frame_end = _prepare_problem(
         recipe, method, seed, track_cache_dir, timings, progress,
-        decode_scope=decode_scope,
+        decode_scope=decode_scope, warm=batched,
     )
     sync_window = int(params["sync_window"])
     syncpoints = make_syncpoints(params, frame_start, frame_end)
@@ -278,12 +407,9 @@ def _run_batched(
     delays = jnp.full((W,), initial_delay, dtype)
     if use_presync:
         radius = presync_radius_ms / 1000.0
-        # the reference's f64-accumulated delay grid (ref :69-70)
-        grid = []
-        d = initial_delay - radius
-        while d < initial_delay + radius:
-            grid.append(d)
-            d += presync_step_ms / 1000.0
+        grid = _presync_grid(
+            initial_delay, radius, presync_step_ms / 1000.0
+        )
         _, delays = batched_presync(
             table, open_wins, jnp.asarray(np.asarray(grid), dtype),
             sp.next_key(), wide=sp._wide_ok(radius),

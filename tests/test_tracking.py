@@ -265,3 +265,48 @@ def test_prepadded_frames_match_device_pad(rng):
         jnp.asarray(fp), chunk=4, grid_step=80, logical_hw=(H, W)))
     np.testing.assert_array_equal(c, d)
     np.testing.assert_array_equal(a, c)
+
+
+@pytest.mark.slow
+def test_decode_pool_matches_serial(tmp_path):
+    """The multiprocess DecodePool must yield bit-identical frames,
+    indices, and timestamps to a serial cv2 decode over the same
+    window-scoped spans (the pool shards GOP-amortized chunks across
+    decoder processes; tiny chunk/slot sizes here exercise the
+    interleaving and ring backpressure)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(7)
+    H, W, T = 120, 160, 40
+    path = str(tmp_path / "pool.mp4")
+    wr = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (W, H), False
+    )
+    assert wr.isOpened()
+    base = rng.integers(0, 255, (H, W)).astype(np.uint8)
+    for t in range(T):
+        wr.write(np.roll(base, t * 3, axis=1))
+    wr.release()
+
+    from rssync_tpu.frontend.decode_pool import DecodePool
+    from rssync_tpu.frontend.tracking import VideoSource
+
+    spans = [(2, 13), (20, 37)]
+    src = VideoSource(path)
+    serial = {}
+    for b, e in spans:
+        for fr in src.frames(b, e):
+            serial[fr.index] = (fr.timestamp, fr.gray)
+    src.cap.release()
+
+    with DecodePool(
+        path, spans, src.height, src.width, src._raw,
+        n_workers=2, chunk=4, slots=3,
+    ) as pool:
+        got = 0
+        for si in range(len(spans)):
+            for idx, ts, gray in pool.span_frames(si):
+                ref_ts, ref_gray = serial[idx]
+                assert ts == ref_ts
+                np.testing.assert_array_equal(gray, ref_gray)
+                got += 1
+    assert got == sum(e - b for b, e in spans)
