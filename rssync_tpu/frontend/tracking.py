@@ -1309,9 +1309,27 @@ class VideoSource:
     (core_testcode.cpp:118-121), yuv420p streams here skip both
     conversions and read the Y plane directly."""
 
+    #: forward gaps up to this many frames skip via grab() (decode
+    #: without convert/copy) instead of a container seek. A seek costs
+    #: a keyframe-to-position decode — on sparse-keyframe streams
+    #: (cv2's own mp4v writer emits very few) that re-decodes
+    #: potentially the WHOLE prefix per seek, which made window-scoped
+    #: decode quadratic (measured 13 ms/frame serial vs 165 ms/frame
+    #: with per-chunk seeks on the 2.7k e2e clip, experiments/
+    #: r4_decode.py). grab() is a bounded ~decode-cost per frame; 512
+    #: covers window-scoped gaps (<= syncpoint_distance) while keeping
+    #: the worst case vs a cheap seek (dense-keyframe streams) small.
+    GRAB_FWD = 512
+
     def __init__(self, path: str, raw_luma: bool = True):
         import cv2
 
+        try:  # silence ffmpeg's per-frame yuv420p->8UC1 notice
+            cv2.utils.logging.setLogLevel(
+                cv2.utils.logging.LOG_LEVEL_ERROR
+            )
+        except AttributeError:
+            pass
         self._cv2 = cv2
         self.path = path
         probe = cv2.VideoCapture(path)
@@ -1327,6 +1345,7 @@ class VideoSource:
             raise RuntimeError("video open failed")
         if self._raw:
             self.cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        self._pos = 0  # next frame read() returns
 
     def _gray(self, img) -> np.ndarray:
         if self._raw:
@@ -1336,9 +1355,21 @@ class VideoSource:
         return self._cv2.cvtColor(img, self._cv2.COLOR_BGR2GRAY)
 
     def seek(self, frame: int) -> None:
+        """Position so the next read() returns `frame`. No-op when
+        already there; short forward gaps grab() through (see
+        GRAB_FWD); otherwise a real container seek."""
+        if frame == self._pos:
+            return
+        if self._pos < frame <= self._pos + self.GRAB_FWD:
+            for _ in range(frame - self._pos):
+                if not self.cap.grab():
+                    raise RuntimeError("grab failed during forward skip")
+            self._pos = frame
+            return
         self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, frame)
         if self.cap.get(self._cv2.CAP_PROP_POS_FRAMES) != frame:
             raise RuntimeError("Seek failed")
+        self._pos = frame
 
     def frames(self, start: int, stop: int) -> Iterator[Frame]:
         self.seek(start)
@@ -1346,20 +1377,25 @@ class VideoSource:
             ok, img = self.cap.read()
             if not ok:
                 raise RuntimeError("frame read failed")
+            self._pos = idx + 1
             ts = self.cap.get(self._cv2.CAP_PROP_POS_MSEC) / 1000.0
             yield Frame(index=idx, timestamp=ts, gray=self._gray(img))
 
 
 class FrameFeed:
-    """Decode-ahead frame feed: worker threads decode disjoint
-    interleaved chunks of [start, stop) into a bounded ordered buffer,
-    so host decode overlaps device tracking instead of serializing
-    with it (the reference decodes inline in its tracking loop,
+    """Decode-ahead frame feed: worker threads decode chunks of
+    [start, stop) into a bounded ordered buffer, so host decode
+    overlaps device tracking instead of serializing with it (the
+    reference decodes inline in its tracking loop,
     ref: core_testcode.cpp:99-122).
 
-    n_workers=None uses min(4, cpu_count); each worker owns its own
-    VideoCapture and seeks to its chunk starts. Consumption is strictly
-    in frame order; at most `ahead` chunks are buffered beyond the
+    n_workers defaults to 1 — a single sequential reader (chunk seeks
+    are then position no-ops, see VideoSource.seek) whose only job is
+    the decode-ahead overlap. PARALLEL decode is the multiprocess
+    DecodePool's job (decode_pool.py): thread workers >1 interleave
+    chunk seeks, which on sparse-keyframe streams re-decode from a
+    keyframe per chunk and lose outright. Consumption is strictly in
+    frame order; at most `ahead` chunks are buffered beyond the
     consumer (bounds host memory to ~ahead*CHUNK frames)."""
 
     CHUNK = 32
@@ -1370,14 +1406,13 @@ class FrameFeed:
         start: int,
         stop: int,
         n_workers: int | None = None,
-        ahead: int = 3,
+        ahead: int = 16,
         raw_luma: bool = True,
     ):
-        import os
         import threading
 
         if n_workers is None:
-            n_workers = min(4, os.cpu_count() or 1)
+            n_workers = 1
         src0 = VideoSource(path, raw_luma=raw_luma)
         self.fps = src0.fps
         self.width = src0.width
@@ -1609,8 +1644,33 @@ def track_frames(
     # in flight; decode (host, via the decode-ahead FrameFeed
     # workers), upload, and tracking (device+tunnel) all overlap
     # instead of serializing per block
+    import threading
+
     DEPTH = 3
     pending: list[tuple[list[Frame], jnp.ndarray]] = []
+    step = grid_step or auto_grid_step(width)
+
+    # warm the single tracker executable on device-GENERATED zeros (no
+    # frame upload) while the first frames decode: the remote XLA
+    # compile (~16 s) otherwise serializes behind the first block
+    lv = auto_levels(height, width)
+    fine0 = 0 in {l for l, *_ in _fine_plan(lv, LK_ITERS, LK_RADIUS)}
+    Hp, Wp = _stored_dims(height, width, "fine" if fine0 else "lane")
+    warmed = threading.Event()
+
+    def _warm_tracker():
+        try:
+            z = jnp.zeros((block + 1, Hp, Wp), jnp.uint8)
+            np.asarray(lk_track_video(
+                z, grid_step=step, logical_hw=(height, width)))
+        except Exception:  # noqa: BLE001 — the real call will surface it
+            pass
+        finally:
+            warmed.set()
+
+    threading.Thread(
+        target=_warm_tracker, daemon=True, name="tracker-warm"
+    ).start()
 
     def drain(p):
         p_frames, fut = p
@@ -1643,13 +1703,22 @@ def track_frames(
                     flush=True,
                 )
             # storage-pad on the host (free under the decode overlap):
-            # skips the ~0.18 ms/pair on-device u8 pad pass
-            stack = jnp.asarray(
-                pad_frames_host(np.stack([f.gray for f in frames]))
-            )  # u8
+            # skips the ~0.18 ms/pair on-device u8 pad pass. Short
+            # tail blocks pad to the full block by repeating the last
+            # frame (repeated frames track to zero flow and are never
+            # emitted) so ONE executable serves every block.
+            stack_np = np.stack([f.gray for f in frames])
+            if len(frames) < block + 1:
+                stack_np = np.concatenate([
+                    stack_np,
+                    np.repeat(
+                        stack_np[-1:], block + 1 - len(frames), axis=0
+                    ),
+                ])
+            stack = jnp.asarray(pad_frames_host(stack_np))  # u8
+            warmed.wait()  # first dispatch: compile warming in flight
             fut = lk_track_video(
-                stack, grid_step=grid_step or auto_grid_step(width),
-                logical_hw=(height, width),
+                stack, grid_step=step, logical_hw=(height, width),
             )  # async dispatch; not fetched yet
             pending.append((frames, fut))
             if len(pending) >= DEPTH:
