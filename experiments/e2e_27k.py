@@ -51,6 +51,53 @@ json.dump({{"video_path": clip.video_path, "gyro_path": clip.gyro_path,
     if args.render_only:
         return
 
+    # environment probes: the e2e wall is dominated by HOST decode,
+    # TUNNEL upload, and REMOTE compile; record their health so the
+    # headline number is interpretable run to run (measured swings:
+    # upload 7-50 MB/s, trivial-matmul compile 12-73 s, LK compile
+    # 11-144 s across a single day on this tunnel).
+    env_probe = {}
+    import numpy as np
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from rssync_tpu.frontend.tracking import VideoSource
+
+    src = VideoSource(meta["video_path"])
+    t0 = time.time()
+    nprobe = sum(1 for _ in src.frames(0, 30))
+    env_probe["decode_ms_per_frame"] = round(1e3 * (time.time() - t0) / nprobe, 1)
+    src.cap.release()
+    # tunnel probes run in their OWN process so the parent never holds
+    # the device while the pipeline subprocess runs
+    probe_code = """
+import json, time, sys
+import numpy as np
+import jax, jax.numpy as jnp
+out = {}
+t0 = time.time()
+x = jnp.ones((512, 512), jnp.bfloat16)
+np.asarray((x @ (x + 1))[:1, :1])
+out["compile_matmul_s"] = round(time.time() - t0, 1)
+blob = np.random.randint(0, 255, (8, 2048, 2720), np.uint8)
+best = float("inf")
+for i in range(2):
+    t0 = time.time()
+    d = jax.device_put(blob + i)
+    np.asarray(d[:1, :1, :1])
+    best = min(best, time.time() - t0)
+out["upload_MBps"] = round(blob.nbytes / 1e6 / best, 1)
+print(json.dumps(out))
+"""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", probe_code], capture_output=True,
+            text=True, timeout=600, check=True,
+        )
+        env_probe.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+    except Exception as e:  # noqa: BLE001
+        env_probe["probe_error"] = repr(e)
+    print(f"# env probe: {env_probe}", file=sys.stderr)
+
     recipe = {
         "input": {
             "video_path": meta["video_path"],
@@ -89,8 +136,6 @@ json.dump({{"video_path": clip.video_path, "gyro_path": clip.gyro_path,
     if proc.returncode != 0:
         raise SystemExit(proc.returncode)
 
-    import numpy as np
-
     rows = np.loadtxt(os.path.join(args.out, "sync.csv"), delimiter=",",
                       ndmin=2)
     errs_ms = np.abs(rows[:, 1] - meta["true_delay"] * 1000.0)
@@ -101,6 +146,7 @@ json.dump({{"video_path": clip.video_path, "gyro_path": clip.gyro_path,
         "wall_s": round(wall, 1),
         "max_offset_err_ms": round(float(errs_ms.max()), 4),
         "mean_offset_err_ms": round(float(errs_ms.mean()), 4),
+        "env": env_probe,
     }))
 
 
