@@ -1165,6 +1165,7 @@ def lk_track_video_chunked(
     iters: int = LK_ITERS,
     grid_step: int | None = None,
     logical_hw: tuple[int, int] | None = None,
+    hybrid: bool | None = None,
 ) -> jnp.ndarray:
     """Track (T, H, W) consecutive frames -> (T-1, N, 2) in ONE
     dispatch: `lax.map` over chunk-sized blocks inside the jit (the
@@ -1174,7 +1175,17 @@ def lk_track_video_chunked(
 
     logical_hw: pass the unpadded (H, W) when `frames` already carry
     the level-0 storage padding (see pad_frames_host) — skips the
-    expensive on-device pad pass."""
+    expensive on-device pad pass.
+
+    hybrid: per-frame passes (small-level pyramid, level-0 templates)
+    hoisted out of the chunk loop so the full-res u8 block is never
+    copied (level-0 search reads ride the strip DMA at per-pair frame
+    indices). MEASURED SLIGHTLY SLOWER than the block structure
+    (0.257 vs 0.246 ms/pair pipelined at the 2.7k operating point,
+    experiments/r4_hybrid_ab.py), so the default stays False; the flag
+    and its bit-parity test are kept because they pin the fidx
+    full-clip strip-fetch path. Falls back to the block structure
+    where the level-0 plan can't serve it."""
     H, W = logical_hw if logical_hw is not None else frames.shape[1:3]
     if levels is None:
         levels = auto_levels(H, W)
@@ -1185,36 +1196,48 @@ def lk_track_video_chunked(
         step = grid_step or auto_grid_step(W)
         pts = grid_points(W, H, step)
     return _lk_track_video_chunked_jit(
-        frames, _static_pts(pts), chunk, levels, radius, iters, (H, W)
+        frames, _static_pts(pts), chunk, levels, radius, iters, (H, W),
+        hybrid,
     )
 
 
 @partial(jax.jit, static_argnames=(
-    "pts_static", "chunk", "levels", "radius", "iters", "logical_hw"))
+    "pts_static", "chunk", "levels", "radius", "iters", "logical_hw",
+    "hybrid"))
 def _lk_track_video_chunked_jit(frames, pts_static, chunk, levels, radius,
-                                iters, logical_hw=None):
-    """Per-chunk structure: each `lax.map` iteration slices its
-    (chunk+1)-frame block and runs the full pipeline (pyramid, coarse
-    init, templates, iterations) on it.
+                                iters, logical_hw=None, hybrid=None):
+    """Chunked tracker over a device-resident clip. Two structures:
 
-    Round-4 negative result (experiments/r4_oldstruct.py): hoisting
-    the pyramid + coarse init + templates out of the chunk loop and
-    reading search strips from full-clip arrays at per-pair frame
-    indices (the round-3 ROADMAP #1 plan, built via _lk_templates/
-    _lk_iterate's fidx path) measured 0.56 ms/pair vs 0.39 for this
-    per-chunk form on pre-padded frames — full-clip intermediates
-    (2.8 GB bf16 cast, 0.4 GB coarse volume) round-trip HBM between
-    phases, while per-chunk working sets stay cache-sized and fuse.
-    What DID pay: host-side storage padding (pad_frames_host +
-    logical_hw) — any full-clip u8 device pass costs ~0.14 ms/pair
-    (experiments/r4_pad.py), so the pad must never run on device."""
+    block (default — the measured winner): each `lax.map` iteration
+    slices its (chunk+1)-frame block and runs the full pipeline on it.
+
+    hybrid (opt-in): the per-FRAME passes — the small-level pyramid
+    ({2, 5, 7} on the 2.7k operating point) and the level-0 templates
+    — run ONCE over the whole clip; the chunk loop slices only the
+    1/16-size level arrays and reads level-0 search strips via the
+    strip DMA at per-pair frame indices (_lk_iterate's fidx path), so
+    the full-res u8 block is never copied. Round-4 A/B at the 2.7k
+    operating point (experiments/r4_hybrid_ab.py, pipelined): hybrid
+    0.257 vs block 0.246 ms/pair — the hoisted full-clip small-pyramid
+    and template passes (0.189 ms/pair together, r4_pyr2.py) cost more
+    than the per-chunk block slice they avoid (0.137 ms/pair,
+    r4_chunk_stages.py), because the per-chunk passes fuse with their
+    consumers while full-clip passes round-trip HBM. Kept opt-in: its
+    bit-parity test pins the fidx full-clip strip-fetch path. Related
+    negative result (experiments/r4_oldstruct.py): hoisting EVERYTHING
+    incl. coarse init and a full-clip level-0 bf16 cast is far worse
+    (0.56 ms/pair). What DID pay: host-side storage padding
+    (pad_frames_host + logical_hw) — any full-clip u8 device pass
+    costs ~0.14 ms/pair (experiments/r4_pad.py), so the pad must
+    never run on device."""
     T = frames.shape[0]
     H, W = logical_hw if logical_hw is not None else frames.shape[1:3]
     n_chunks = (T - 1) // chunk
     starts = jnp.arange(n_chunks) * chunk
     pts = np.asarray(pts_static, np.float32)
 
-    fine0 = 0 in {l for l, *_ in _fine_plan(levels, iters, radius)}
+    plan = _fine_plan(levels, iters, radius)
+    fine0 = 0 in {l for l, *_ in plan}
     if (H, W) == frames.shape[1:3]:
         # level-0 storage padding once for the whole clip; per-chunk
         # level padding is folded into the pyramid weights
@@ -1229,11 +1252,68 @@ def _lk_track_video_chunked_jit(frames, pts_static, chunk, levels, radius,
         frames_p = frames
     Hp, Wp = frames_p.shape[-2:]
 
+    hybrid = bool(hybrid) and (
+        fine0
+        and plan[-1][0] == 0
+        and _strip_path_ok(frames_p, pts.shape[0])
+        and bool(np.all(pts == np.round(pts)))
+    )
+
+    if not hybrid:
+        def one(start):
+            blk = jax.lax.dynamic_slice(
+                frames_p, (start, 0, 0), (chunk + 1, Hp, Wp))
+            return _lk_video_core(blk, pts, levels, radius, iters,
+                                  logical_hw=(H, W))
+
+        out = jax.lax.map(one, starts)  # (n_chunks, chunk, N, 2)
+        return out.reshape(T - 1, pts.shape[0], 2)
+
+    need = _needed_levels(levels, iters, radius)
+    fine = {l for l, *_ in plan}
+    lvl_plan = {l: "fine" if l in fine else "lane" for l in need}
+    small = [l for l in need if l > 0]
+    # hoisted per-frame passes (outputs small or row-sparse)
+    pyr_small = build_pyramid_sparse(frames_p, levels, small, (H, W),
+                                     lvl_plan)
+    tmpl0 = _lk_templates(frames_p, pts, plan[-1][3])
+    entry = plan[0][0]
+    lvl_glob = levels - 1
+    lvl_vol = max(entry + 1, lvl_glob - 2)
+
     def one(start):
-        blk = jax.lax.dynamic_slice(
-            frames_p, (start, 0, 0), (chunk + 1, Hp, Wp))
-        return _lk_video_core(blk, pts, levels, radius, iters,
-                              logical_hw=(H, W))
+        pairs = {}
+        for l in small:
+            shp = pyr_small[l].shape
+            blk = jax.lax.dynamic_slice(
+                pyr_small[l], (start, 0, 0), (chunk + 1, shp[1], shp[2]))
+            pairs[l] = (blk[:-1], blk[1:])
+        if levels > entry + 1:
+            cpairs = {lvl: pairs[lvl] for lvl in {lvl_glob, lvl_vol}}
+            hg = pairs[lvl_glob][0].shape[-2:]
+            D_glob = max(2, min(hg) // 3)
+            d = _coarse_init(cpairs, lvl_vol, lvl_glob, pts, D_glob)
+        else:
+            d = jnp.zeros((chunk,) + pts.shape, jnp.float32)
+        for lvl, it_l, m_l, r_l in plan:
+            scale = float(2**lvl)
+            if lvl > 0:
+                d = _lk_level(
+                    pairs[lvl][0], pairs[lvl][1], pts / scale, d / scale,
+                    r_l, it_l, m_l, precision=jax.lax.Precision.HIGHEST,
+                ) * scale
+            else:
+                tm = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(
+                        a, start, chunk, 0),
+                    tmpl0,
+                )
+                fidx = start + 1 + jnp.arange(chunk, dtype=jnp.int32)
+                d = _lk_iterate(
+                    frames_p, pts, d, tm, r_l, it_l, m_l,
+                    precision=jax.lax.Precision.HIGHEST, fidx=fidx,
+                )
+        return pts[None] + d
 
     out = jax.lax.map(one, starts)  # (n_chunks, chunk, N, 2)
     return out.reshape(T - 1, pts.shape[0], 2)

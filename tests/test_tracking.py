@@ -267,6 +267,25 @@ def test_prepadded_frames_match_device_pad(rng):
     np.testing.assert_array_equal(a, c)
 
 
+def test_hybrid_chunked_matches_block(rng):
+    """The hybrid chunk structure (per-frame passes — small-level
+    pyramid + level-0 templates — hoisted out of the chunk loop,
+    level-0 search reads at per-pair frame indices) must be
+    bit-identical to the per-chunk block structure: the hoisted
+    pyramid is per-frame math, templates read the same storage-padded
+    frames, and the fidx strip fetch indexes the same rows the sliced
+    block would hold."""
+    from rssync_tpu.frontend import tracking as T
+
+    H, W = 260, 400
+    frames = rng.integers(0, 255, (9, H, W)).astype(np.uint8)
+    a = np.asarray(T.lk_track_video_chunked(
+        jnp.asarray(frames), chunk=4, grid_step=80, hybrid=False))
+    b = np.asarray(T.lk_track_video_chunked(
+        jnp.asarray(frames), chunk=4, grid_step=80, hybrid=True))
+    np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.slow
 def test_decode_pool_matches_serial(tmp_path):
     """The multiprocess DecodePool must yield bit-identical frames,
