@@ -27,8 +27,12 @@ PRESYNC_RANSAC_ITERS = 20
 #: ~ chunk x windows x frames x features intermediates). Swept in
 #: experiments/bench_presync.py: the stage is materialization-bound,
 #: so SMALLER chunks fuse better — 8 beat 32 by ~20% at the reference
-#: operating point while still filling the chip.
-DELAY_CHUNK = 8
+#: operating point while still filling the chip. Re-swept after the
+#: delay-blocked scoring kernel (experiments/r4_dblock.py): 4 beats 8
+#: (231 vs 280 ms; 2 is 226 but at 14x the compile time, and b_tile=3
+#: saves only 4.5 ms while sitting within 8% of Mosaic's 16 MB
+#: scoped-VMEM limit).
+DELAY_CHUNK = 4
 
 
 def cost_with_motion(P: jnp.ndarray, M: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:

@@ -146,6 +146,72 @@ def guess_motion_window(
     return guess_motion_rows(P, counts, r0, r1, impl)
 
 
+def guess_motion_window_batched(
+    P: jnp.ndarray, counts: jnp.ndarray, keys: jnp.ndarray, iters: int,
+    impl: str | None = None,
+) -> jnp.ndarray:
+    """A BATCH of whole-window guessers: P (B, 3, F, N), counts
+    (B, F), keys (B, 2) — per-batch key splits identical to
+    `vmap(guess_motion_window)` over the batch axis (PreSync flattens
+    delay-chunk x windows into B). Same math, but the Pallas scoring
+    kernel runs with _b_tile problems per program instead of one
+    Mosaic grid cell each — per-program overhead dominated the
+    PreSync scoring stage (experiments/r4_presync_split2.py /
+    r4_dblock.py). Returns (B, F, 3)."""
+    from rssync_tpu.ops import pallas_score as PSC
+
+    B, _, F, N = P.shape
+
+    def prelude(P1, c1, k1):
+        kf = jax.random.split(k1, F)
+        r0, r1 = jax.vmap(lambda k, c: sample_pairs(k, iters, c))(kf, c1)
+        Pn2 = jnp.sum(P1 * P1, axis=0)
+        inv = jnp.where(
+            Pn2 < 1e-24, 1.0, jax.lax.rsqrt(jnp.maximum(Pn2, 1e-30))
+        )
+        nP = P1 * inv[None]
+
+        def onehot(r):
+            return (
+                jnp.arange(N)[None, None, :] == r[..., None]
+            ).astype(P1.dtype)
+
+        A = jnp.einsum(
+            "cfn,fin->cfi", P1, onehot(r0),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        Bm = jnp.einsum(
+            "cfn,fin->cfi", P1, onehot(r1),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        v = cross_soa(A, Bm)
+        vn2 = jnp.sum(v * v, axis=0)
+        vinv = jnp.where(
+            vn2 < 1e-24, 1.0, jax.lax.rsqrt(jnp.maximum(vn2, 1e-30))
+        )
+        return nP, v * vinv[None]
+
+    nP, v = jax.vmap(prelude)(P, counts, keys)
+    if impl is None:
+        impl = (
+            "pallas"
+            if PSC.on_tpu() and PSC.fits_vmem_batched(F, iters, N)
+            else "xla"
+        )
+    if impl == "pallas":
+        med = PSC.score_quartile_pallas_batched(nP, v, counts)
+    else:
+        med = jax.vmap(PSC.score_quartile_xla)(nP, v, counts)  # (B, F, I)
+
+    best = jnp.argmin(med, axis=-1)  # (B, F)
+    sel = (jnp.arange(iters)[None, None, :] == best[..., None]).astype(
+        P.dtype)
+    vb = jnp.einsum("bcfi,bfi->bfc", v, sel)  # exact one-hot select
+    tiny = jnp.sum(vb * vb, axis=-1) < 1e-12
+    fallback = jnp.asarray([0.0, 0.0, 1.0], vb.dtype)
+    return jnp.where(tiny[..., None], fallback[None, None], vb)
+
+
 def guess_motion_rows(
     P: jnp.ndarray, counts, r0: jnp.ndarray, r1: jnp.ndarray,
     impl: str | None = None,

@@ -165,6 +165,104 @@ def score_quartile_pallas(
     )(nP, v, cnt)
 
 
+def _b_tile(F: int, I: int, N: int) -> int:
+    """Batch rows per program for the batched kernel: same 4-live-
+    buffer accounting as _f_tile, applied to whole (3, F, N) problems
+    stacked along a leading batch axis."""
+    n_eff = -(-N // 128) * 128  # Mosaic lane padding
+    return VMEM_BUDGET // (F * I * n_eff * 4 * 4)
+
+
+def fits_vmem_batched(F: int, I: int, N: int) -> bool:
+    """True iff at least one whole (3, F, N) problem fits the budget —
+    the batched kernel's grid axis is the batch, so F is never tiled."""
+    return _b_tile(F, I, N) >= 1
+
+
+def _score_kernel_batched(nP_ref, v_ref, cnt_ref, med_ref):
+    """_score_kernel with a leading batch-block axis: one program
+    scores `bt` independent (3, F, N) problems, amortizing Mosaic's
+    per-program overhead (PreSync's stage cost was bound on program
+    count at ~20 us/program across delay x window programs —
+    experiments/r4_presync_split2.py puts bisection scoring at 119 of
+    267 ms with compute ~half that)."""
+    nP = nP_ref[...]          # (bt, 3, F, N) f32, padded features zero
+    v = v_ref[...]            # (bt, 3, F, I) f32 unit hypotheses
+    cnt = cnt_ref[...]        # (bt, F, 1) int32 valid-feature counts
+    bt, _, F, N = nP.shape
+
+    res = (
+        v[:, 0][..., None] * nP[:, 0][:, :, None, :]
+        + v[:, 1][..., None] * nP[:, 1][:, :, None, :]
+        + v[:, 2][..., None] * nP[:, 2][:, :, None, :]
+    )  # (bt, F, I, N)
+    res2 = res * res
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (bt, F, 1, N), 3)
+    valid = iota_n < cnt[..., None]   # (bt, F, 1, N)
+    k = jnp.maximum(cnt, 1) // 4      # (bt, F, 1)
+
+    res2m = jnp.where(valid, res2, jnp.inf).astype(
+        jnp.bfloat16).astype(jnp.float32)
+    lo = jnp.zeros(res2.shape[:3], jnp.float32)          # (bt, F, I)
+    masked = jnp.where(valid, res2, 0.0)
+    mu = jnp.sum(masked, axis=-1) / jnp.maximum(cnt, 1).astype(
+        jnp.float32)
+    hi = jnp.minimum(jnp.max(masked, axis=-1), MARKOV_C * mu)
+
+    def bisect(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        midq = mid[..., None].astype(jnp.bfloat16).astype(jnp.float32)
+        c = jnp.sum((res2m <= midq).astype(jnp.float32), axis=-1)
+        ge = c >= (k + 1).astype(jnp.float32)
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, BISECT_ROUNDS, bisect, (lo, hi))
+    med_ref[...] = hi
+
+
+@partial(jax.jit, static_argnames=("interpret", "b_tile"))
+def score_quartile_pallas_batched(
+    nP: jnp.ndarray, v: jnp.ndarray, counts: jnp.ndarray,
+    interpret: bool = False, b_tile: int | None = None,
+) -> jnp.ndarray:
+    """Quartile bracket for a BATCH of independent scoring problems.
+
+    nP: (B, 3, F, N); v: (B, 3, F, I); counts: (B, F) int32. Returns
+    (B, F, I) f32, bitwise equal to vmapping score_quartile_pallas
+    over the batch axis — but with _b_tile problems per program
+    instead of Mosaic grid cells of one. B is padded up to the tile
+    (padded rows carry zero counts -> hi = 0, sliced off)."""
+    B, _, F, N = nP.shape
+    Iq = v.shape[-1]
+    bt = b_tile or max(1, min(B, _b_tile(F, Iq, N)))
+    pad = (-B) % bt
+    if pad:
+        nP = jnp.pad(nP, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, ((0, pad), (0, 0)))
+    Bp = B + pad
+    cnt = counts.astype(jnp.int32).reshape(Bp, F, 1)
+    out = pl.pallas_call(
+        _score_kernel_batched,
+        out_shape=jax.ShapeDtypeStruct((Bp, F, Iq), jnp.float32),
+        grid=(Bp // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, 3, F, N), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 3, F, Iq), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, F, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, F, Iq), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(nP, v, cnt)
+    return out[:B]
+
+
 def score_quartile_xla(
     nP: jnp.ndarray, v: jnp.ndarray, counts: jnp.ndarray
 ) -> jnp.ndarray:

@@ -16,8 +16,9 @@ from typing import Sequence  # noqa: F401
 import jax
 import jax.numpy as jnp
 
-from rssync_tpu.core.presync import window_cost
-from rssync_tpu.core.problem import SplineTable, TrackWindow
+from rssync_tpu.core.presync import PRESYNC_RANSAC_ITERS, cost_with_motion
+from rssync_tpu.core.problem import SplineTable, TrackWindow, compute_problem
+from rssync_tpu.core.ransac import guess_motion_window_batched
 from rssync_tpu.core.sync import SyncResult, sync_window
 
 
@@ -94,21 +95,38 @@ def batched_presync(
 
     def one_chunk(args):
         ds, ks = args  # (K,), (K, W, 2)
+        # The chunk is one flattened B = K x W batch for the scoring
+        # kernel (guess_motion_window_batched): _b_tile problems per
+        # Pallas program instead of one grid cell per (delay, window)
+        # — the stage was bound on per-program overhead
+        # (experiments/r4_presync_split2.py: scoring 119 of 267 ms at
+        # ~20 us/program; r4_dblock.py for the A/B). No transposes:
+        # the batch axis is leading, (3, F, N) blocks stay intact.
         # NOTE (r4 negative result, experiments/r4_presync.py):
-        # flattening (delay x window x frame) into one row axis for
-        # the scoring kernel (2.7x fewer Pallas programs) measured
-        # 299 vs 283 ms — the (K, W, 3, F, N) -> (3, K*W*F, N)
-        # transpose costs more than the program merging saves. The
-        # per-(delay, window) vmap stays.
+        # flattening (delay x window x FRAME) into the scoring kernel's
+        # row axis instead measured 299 vs 283 ms — that layout needs a
+        # (K, W, 3, F, N) -> (3, K*W*F, N) transpose which costs more
+        # than the program merging saves.
         if bands is None:
-            per_win = lambda d, kk: jax.vmap(
-                lambda win, k: window_cost(table, win, d, k)
-            )(wins, kk)
+            P = jax.vmap(lambda d: jax.vmap(
+                lambda win: compute_problem(table, win, d)
+            )(wins))(ds)
         else:
-            per_win = lambda d, kk: jax.vmap(
-                lambda win, k, b: window_cost(table, win, d, k, b)
-            )(wins, kk, bands)
-        return jax.vmap(per_win)(ds, ks)  # (K, W)
+            P = jax.vmap(lambda d: jax.vmap(
+                lambda win, b: compute_problem(table, win, d, b)
+            )(wins, bands))(ds)  # (K, W, 3, F, N)
+        K = ds.shape[0]
+        F, N = P.shape[-2], P.shape[-1]
+        Pb = P.reshape(K * W, 3, F, N)
+        cb = jnp.broadcast_to(
+            wins.counts[None], (K, W, F)).reshape(K * W, F)
+        mb = jnp.broadcast_to(
+            wins.frame_mask[None], (K, W, F)).reshape(K * W, F)
+        M = guess_motion_window_batched(
+            Pb, cb, ks.reshape(K * W, 2), PRESYNC_RANSAC_ITERS
+        )  # (B, F, 3)
+        costs = jax.vmap(cost_with_motion)(Pb, M, mb)
+        return costs.reshape(K, W)
 
     costs = jax.lax.map(one_chunk, (chunks, kchunks)).reshape(Dp, W)
     costs = jnp.where(jnp.isfinite(delays_p)[:, None], costs, jnp.inf)

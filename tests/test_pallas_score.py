@@ -65,6 +65,50 @@ def test_kernel_matches_vmapped(rng):
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=0)
 
 
+def test_batched_kernel_matches_vmapped(rng):
+    """score_quartile_pallas_batched (multiple whole problems per
+    program + batch padding) must equal the per-problem kernel and
+    the XLA path bit for bit."""
+    from rssync_tpu.ops.pallas_score import score_quartile_pallas_batched
+
+    B = 5  # deliberately NOT divisible by b_tile=2 (exercises padding)
+    packs = [_problem(rng) for _ in range(B)]
+    nP = jnp.stack([p[1] for p in packs])
+    v = jnp.stack([p[2] for p in packs])
+    counts = jnp.stack([p[3] for p in packs])
+    a = np.asarray(score_quartile_pallas_batched(
+        nP, v, counts, interpret=True, b_tile=2))
+    b = np.asarray(jax.vmap(score_quartile_xla)(nP, v, counts))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=0)
+    c = np.asarray(
+        jax.vmap(lambda n, vv, cc: score_quartile_pallas(
+            n, vv, cc, interpret=True))(nP, v, counts)
+    )
+    np.testing.assert_array_equal(a, c)
+
+
+def test_batched_window_guesser_matches_vmapped(rng):
+    """guess_motion_window_batched == vmap(guess_motion_window) for
+    the same per-batch keys (the delay-blocked PreSync restructure
+    must not change selected motions)."""
+    from rssync_tpu.core.ransac import guess_motion_window_batched
+
+    B = 4
+    Ps, counts = [], []
+    for _ in range(B):
+        P, _, _, c = _problem(rng, F=9, N=33)
+        Ps.append(P)
+        counts.append(c)
+    P = jnp.stack(Ps)
+    counts = jnp.stack(counts)
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    ref = jax.vmap(
+        lambda p, c, k: guess_motion_window(p, c, k, 20, impl="xla")
+    )(P, counts, keys)
+    got = guess_motion_window_batched(P, counts, keys, 20, impl="xla")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_window_guesser_matches_per_frame(rng):
     """guess_motion_window == vmap(guess_motion) for the same key
     split (the PreSync refactor must not change selected motions)."""
