@@ -18,6 +18,13 @@ default tile fits 3-4 problems per program instead of 2.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python \
     experiments/r4_i16score.py [bt]
+
+MEASURED (TPU v5e, 2026-08-18): NEGATIVE — Mosaic rejects the int16
+vector compare outright ("Target does not support this comparison",
+arith.cmpi on vector<8x128x2xi16>), the same target limitation that
+forced the f32-quantized compare in the first place. v5e's VPU has no
+16-bit vector compare of ANY kind; widening the bits to i32 erases
+the memory saving. The f32-quantized compare buffer stays.
 """
 
 import sys

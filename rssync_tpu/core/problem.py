@@ -67,11 +67,17 @@ class SplineTable:
 #: maximum knot-band width for the per-frame spline slice (see
 #: compute_problem): covers rolling-shutter spans up to BAND-4 knots,
 #: i.e. readout_time * gyro_rate <= 12 (a GoPro at 200 Hz uses ~2.2).
-#: Each window carries its own (static) band width — BAND_FAST when
-#: its spans fit, which HALVES the dominant select cost of the banded
-#: eval (measured: Sync(4x) 347 -> 227 ms, identical results)
+#: Each window carries its own (static) EXACT band width span+3: the
+#: eval position is idx - band_start = (i0 - base) +
+#: (floor(f0 + shift) - floor(shift)) + 1 with i0 - base in [0, span]
+#: and the floor term in {0, 1} (f0 in [0, 1], incl. the f32-rounded
+#: endpoint), so rel spans [1, span + 2] and span+3 knots always
+#: cover it; boundary clamps only shrink rel. The band width sets the
+#: dominant VPU select cost of the banded eval: round 3 halved it by
+#: quantizing 16 -> 8 (Sync(4x) 347 -> 227 ms); round 4 went exact
+#: (8 -> 5 at the GoPro operating point, PreSync 229 -> 214 ms,
+#: bitwise-identical costs — experiments/r4_band6.py)
 BAND = 16
-BAND_FAST = 8
 
 #: wide-band machinery (see make_wide_bands): per-frame WIDE-knot slabs
 #: extracted ONCE per engine call; each delay then takes a single
@@ -115,8 +121,8 @@ class TrackWindow:
     feat_mask: jnp.ndarray
     frame_mask: jnp.ndarray
     counts: jnp.ndarray
-    #: static (compile-time) banded-eval width: BAND_FAST when every
-    #: frame's rolling-shutter knot span fits, else BAND
+    #: static (compile-time) banded-eval width: the exact per-window
+    #: minimum span+3 (see the BAND note above)
     band: int = dataclasses.field(
         default=BAND, metadata=dict(static=True)
     )
@@ -267,7 +273,8 @@ def build_track_window(
         feat_mask=jnp.asarray(feat_mask, dtype),
         frame_mask=jnp.asarray(frame_mask, dtype),
         counts=jnp.asarray(counts),
-        band=BAND_FAST if span_max + 4 <= BAND_FAST else BAND,
+        band=span_max + 3,  # exact minimum (see BAND note); the
+        #   span+4 > BAND check above already bounds it under BAND
     )
 
 
