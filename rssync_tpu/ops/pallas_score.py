@@ -13,10 +13,14 @@ exists in HBM at all.
 
 Numerics match the XLA path deliberately: the compare buffer is
 bf16, BISECT_ROUNDS bisection rounds on the Markov-bounded bracket,
-`hi` returned as the quantile bracket. The
-only deviation is residual accumulation order (three explicit FMAs
-vs a length-3 dot contraction) — differences are absorbed by the
-bf16 cast in practice and only matter for exactly-tied hypotheses.
+`hi` returned as the quantile bracket. Two benign deviations vs
+score_quartile_xla, both only material for exactly-tied hypotheses:
+residual accumulation order (three explicit FMAs vs a length-3 dot
+contraction — absorbed by the bf16 cast in practice), and the Markov
+bracket's mean, an order-sensitive f32 reduction that Mosaic and XLA
+accumulate differently on the chip, leaving the returned bracket
+endpoint a 1-ulp wobble (the bisection DECISIONS stay bf16-grid
+exact; see testing/tpu_selftest.py::check_score_quartile).
 
 Scoring replaces the reference's per-hypothesis sort + n/4 selection
 (ref: src/core/core_private.cpp:34-59).

@@ -16,7 +16,11 @@ Checks (all compiled, none interpreted):
 
 1. ``score_quartile_pallas`` vs ``score_quartile_xla`` at both
    production shapes (PreSync whole-window I=20; Sync I=200) —
-   bit-equal: both paths quantize compares to the bf16 grid.
+   equal to a few ulps relative: the compare predicate is bf16-grid
+   exact on both paths, but the Markov initial bracket's MEAN is a
+   reduction whose accumulation order differs between Mosaic and
+   XLA, so the returned bracket endpoint carries a few-ulp wobble
+   (it was bit-equal before the mean-based bracket, round 4).
 2. ``_gather_strips_pallas`` (double-buffered strip DMA) vs the XLA
    row-block gather — bit-equal u8 strips.
 3. One full LK tracker run: strip-fetch path vs forced-legacy gather
@@ -41,8 +45,16 @@ def on_tpu() -> bool:
 
 
 def check_score_quartile() -> float:
-    """Max |pallas - xla| over PreSync- and Sync-shaped scoring calls
-    (expected 0.0: identical bf16-grid bisection)."""
+    """Max RELATIVE |pallas - xla| over PreSync- and Sync-shaped
+    scoring calls. Expected <= a few ulps (measured 5e-7 on v5e): the
+    bisection compare is bf16-grid exact on both paths, but the Markov
+    bracket's mean (`MARKOV_C * mu`) is an order-sensitive f32
+    reduction over up to 256 values — Mosaic and XLA accumulate it
+    differently on the chip — so the returned bracket endpoint carries
+    the initial hi's few-ulp wobble. A flipped bisection DECISION
+    would show up at >= ~2^-BISECT_ROUNDS of the initial bracket
+    (~1e-3 relative here), nearly three decades above the tolerance,
+    so this still catches any real predicate divergence."""
     from rssync_tpu.ops.pallas_score import (
         score_quartile_pallas,
         score_quartile_xla,
@@ -59,7 +71,8 @@ def check_score_quartile() -> float:
         )
         a = np.asarray(score_quartile_pallas(nP, v, counts))
         b = np.asarray(score_quartile_xla(nP, v, counts))
-        worst = max(worst, float(np.abs(a - b).max()))
+        scale = np.maximum(np.maximum(np.abs(a), np.abs(b)), 1e-30)
+        worst = max(worst, float((np.abs(a - b) / scale).max()))
     return worst
 
 
@@ -113,7 +126,7 @@ def check_lk_strip_vs_legacy() -> float:
 
 
 CHECKS = {
-    "score_quartile": (check_score_quartile, 0.0),
+    "score_quartile": (check_score_quartile, 2e-6),
     "strip_dma": (check_strip_dma, 0.0),
     "lk_strip_vs_legacy": (check_lk_strip_vs_legacy, 2e-3),
 }
