@@ -40,6 +40,8 @@ the reference's tracker choice (SURVEY §7 step 6).
 from __future__ import annotations
 
 import math
+import os
+import time
 from dataclasses import dataclass
 from functools import lru_cache, partial
 from typing import Iterator, Sequence
@@ -1752,21 +1754,57 @@ def track_frames(
         target=_warm_tracker, daemon=True, name="tracker-warm"
     ).start()
 
+    # the grid endpoint's rays are the same for every pair: lift once
+    # per clip (emit_track_result recomputed them per pair — 2 device
+    # round-trips x pairs, ~2 s/block over the remote tunnel)
+    rays_a_np = np.asarray(
+        lens_ops.rays_from_normalized(
+            lens_ops.undistort_points(lens, pts_j)
+        ),
+        np.float64,
+    )
+
     def drain(p):
+        """Fetch one block's tracked grids and feed set_track_result.
+
+        The tracked endpoints of ALL pairs lift to rays in ONE device
+        call (padded tail rows included, so every block reuses one
+        executable) — per-pair calls cost a tunnel round-trip each.
+        Elementwise undistort is bitwise-identical either way."""
         p_frames, fut = p
-        tracked_all = np.asarray(fut)
-        for i in range(len(p_frames) - 1):
-            emit(
-                p_frames[i].index,
-                tracked_all[i],
-                p_frames[i].timestamp,
-                p_frames[i + 1].timestamp,
+        tracked_all = np.asarray(fut)  # (block, N, 2) f32
+        rb = lens_ops.rays_from_normalized(
+            lens_ops.undistort_points(
+                lens, jnp.asarray(tracked_all.reshape(-1, 2))
             )
+        )
+        rays_b = np.asarray(rb, np.float64).reshape(
+            tracked_all.shape[0], -1, 3
+        )
+        for i in range(len(p_frames) - 1):
+            ts_a, ts_b = rolling_shutter_ts(
+                lens, pts, tracked_all[i],
+                p_frames[i].timestamp, p_frames[i + 1].timestamp, height,
+            )
+            problem.set_track_result(
+                p_frames[i].index,
+                np.asarray(ts_a, np.float64),
+                np.asarray(ts_b, np.float64),
+                rays_a_np,
+                rays_b[i],
+            )
+
+    # RSSYNC_TRACK_TIMING=1: per-block wall-clock of each pipeline
+    # stage (decode wait / host stack+pad / upload / dispatch / drain)
+    # — the tracker trace hook for diagnosing host-vs-tunnel-vs-device
+    # bottlenecks on real clips.
+    timing = os.environ.get("RSSYNC_TRACK_TIMING", "") not in ("", "0")
 
     for (pb, pe), it in zip(ranges, _range_feeds(video_path, ranges)):
         carry: Frame | None = None
         done = False
         while not done:
+            t0 = time.time()
             frames = [carry] if carry is not None else []
             while len(frames) < block + 1:
                 try:
@@ -1782,6 +1820,7 @@ def track_frames(
                     f"{frames[0].index}..{frames[-1].index - 1}",
                     flush=True,
                 )
+            t1 = time.time()
             # storage-pad on the host (free under the decode overlap):
             # skips the ~0.18 ms/pair on-device u8 pad pass. Short
             # tail blocks pad to the full block by repeating the last
@@ -1795,14 +1834,31 @@ def track_frames(
                         stack_np[-1:], block + 1 - len(frames), axis=0
                     ),
                 ])
-            stack = jnp.asarray(pad_frames_host(stack_np))  # u8
+            stack_np = pad_frames_host(stack_np)
+            t2 = time.time()
+            stack = jnp.asarray(stack_np)  # u8 upload
+            t3 = time.time()
             warmed.wait()  # first dispatch: compile warming in flight
+            t4 = time.time()
             fut = lk_track_video(
                 stack, grid_step=step, logical_hw=(height, width),
             )  # async dispatch; not fetched yet
+            t5 = time.time()
             pending.append((frames, fut))
             if len(pending) >= DEPTH:
                 drain(pending.pop(0))
+            t6 = time.time()
+            if timing:
+                print(
+                    f"# block {frames[0].index}: decode {t1-t0:.2f} "
+                    f"stack {t2-t1:.2f} upload {t3-t2:.2f} "
+                    f"warmwait {t4-t3:.2f} dispatch {t5-t4:.2f} "
+                    f"drain {t6-t5:.2f}",
+                    flush=True,
+                )
             carry = frames[-1]
+    t0 = time.time()
     for p in pending:
         drain(p)
+    if timing:
+        print(f"# final drain {time.time()-t0:.2f}", flush=True)
