@@ -18,6 +18,19 @@ wider than u8 wins despite the extra traffic, and the pyramid's
 convert pass (the tracker's single biggest cost) shrinks accordingly.
 
 Usage: PYTHONPATH=/root/repo python experiments/r4_u8pass2.py [names]
+
+MEASURED (v5e, 2026-08-19), all for the same 1.4e9 pixels:
+  sum_u8  30.3 ms   sum_i16 32.4   sum_bf16 30.9   sum_f32 36.2
+  conv    41.1 ms (0.171 ms/pair)   pallas_conv 47.9
+Verdict: wall time is ~CONSTANT across dtypes — these passes are
+bound by the platform's elementwise issue rate (~46 Gelem/s observed,
+~20x below the VPU's nameplate rate; f32 tops out ~154 GB/s, far
+under HBM spec), not by bytes. Consequences: (a) storing frames wider
+than u8 buys nothing; (b) the pyramid's u8->bf16 convert — the
+tracker's biggest single cost — is AT this platform floor, and Mosaic
+can't beat XLA at it; (c) tracking at 0.23-0.28 ms/pair sits ~1.5x
+above an irreducible ~0.17 ms/pair one-elementwise-pass floor, so
+further tracker work is low-yield on this device tier.
 """
 
 import sys
