@@ -1729,8 +1729,18 @@ def track_frames(
     import threading
 
     DEPTH = 3
+    MAX_STAGED = max(
+        1, int(os.environ.get("RSSYNC_TRACK_MAX_STAGED", "12"))
+    )
     pending: list[tuple[list[Frame], jnp.ndarray]] = []
+    staged: list[tuple[list[Frame], jnp.ndarray]] = []
     step = grid_step or auto_grid_step(width)
+
+    # RSSYNC_TRACK_TIMING=1: per-block wall-clock of each pipeline
+    # stage (decode wait / host stack+pad / upload / dispatch / drain)
+    # plus absolute @t offsets — the tracker trace hook for diagnosing
+    # host-vs-tunnel-vs-device-vs-compile bottlenecks on real clips.
+    timing = os.environ.get("RSSYNC_TRACK_TIMING", "") not in ("", "0")
 
     # warm the single tracker executable on device-GENERATED zeros (no
     # frame upload) while the first frames decode: the remote XLA
@@ -1739,6 +1749,7 @@ def track_frames(
     fine0 = 0 in {l for l, *_ in _fine_plan(lv, LK_ITERS, LK_RADIUS)}
     Hp, Wp = _stored_dims(height, width, "fine" if fine0 else "lane")
     warmed = threading.Event()
+    tstart = time.time()
 
     def _warm_tracker():
         try:
@@ -1749,6 +1760,11 @@ def track_frames(
             pass
         finally:
             warmed.set()
+            if timing:
+                print(
+                    f"# tracker warm (compile) done @{time.time()-tstart:.0f}s",
+                    flush=True,
+                )
 
     threading.Thread(
         target=_warm_tracker, daemon=True, name="tracker-warm"
@@ -1794,12 +1810,6 @@ def track_frames(
                 rays_b[i],
             )
 
-    # RSSYNC_TRACK_TIMING=1: per-block wall-clock of each pipeline
-    # stage (decode wait / host stack+pad / upload / dispatch / drain)
-    # — the tracker trace hook for diagnosing host-vs-tunnel-vs-device
-    # bottlenecks on real clips.
-    timing = os.environ.get("RSSYNC_TRACK_TIMING", "") not in ("", "0")
-
     for (pb, pe), it in zip(ranges, _range_feeds(video_path, ranges)):
         carry: Frame | None = None
         done = False
@@ -1836,21 +1846,37 @@ def track_frames(
                 ])
             stack_np = pad_frames_host(stack_np)
             t2 = time.time()
-            stack = jnp.asarray(stack_np)  # u8 upload
+            stack = jnp.asarray(stack_np)  # u8 upload (async)
             t3 = time.time()
-            warmed.wait()  # first dispatch: compile warming in flight
-            t4 = time.time()
-            fut = lk_track_video(
-                stack, grid_step=step, logical_hw=(height, width),
-            )  # async dispatch; not fetched yet
-            t5 = time.time()
-            pending.append((frames, fut))
-            if len(pending) >= DEPTH:
-                drain(pending.pop(0))
+            # While the tracker executable is still compiling (the
+            # warm thread), a dispatch would block this thread inside
+            # the jit call and a drain would block on the executable —
+            # either way the tunnel idles for the whole compile.
+            # Instead STAGE the uploaded block (uploads need no
+            # executable) and keep decoding/uploading, bounded by
+            # MAX_STAGED (each staged 2.7k block holds ~93 MB device +
+            # ~93 MB host). Dispatch and drain order are unchanged, so
+            # outputs are bit-identical to the blocking order.
+            staged.append((frames, stack))
+            t4 = t5 = t3
+            while staged and (
+                warmed.is_set() or len(staged) >= MAX_STAGED
+            ):
+                warmed.wait()
+                s_frames, s_stack = staged.pop(0)
+                t4 = time.time()
+                fut = lk_track_video(
+                    s_stack, grid_step=step, logical_hw=(height, width),
+                )  # async dispatch; not fetched yet
+                t5 = time.time()
+                pending.append((s_frames, fut))
+                if len(pending) >= DEPTH:
+                    drain(pending.pop(0))
             t6 = time.time()
             if timing:
                 print(
-                    f"# block {frames[0].index}: decode {t1-t0:.2f} "
+                    f"# block {frames[0].index} @{t0-tstart:.0f}s: "
+                    f"decode {t1-t0:.2f} "
                     f"stack {t2-t1:.2f} upload {t3-t2:.2f} "
                     f"warmwait {t4-t3:.2f} dispatch {t5-t4:.2f} "
                     f"drain {t6-t5:.2f}",
@@ -1858,6 +1884,12 @@ def track_frames(
                 )
             carry = frames[-1]
     t0 = time.time()
+    warmed.wait()
+    for s_frames, s_stack in staged:  # blocks staged before warm-up done
+        pending.append((s_frames, lk_track_video(
+            s_stack, grid_step=step, logical_hw=(height, width),
+        )))
+    staged.clear()
     for p in pending:
         drain(p)
     if timing:

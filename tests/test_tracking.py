@@ -286,6 +286,72 @@ def test_hybrid_chunked_matches_block(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_staged_blocks_during_warm_match_blocking_order(tmp_path, rng,
+                                                        monkeypatch):
+    """While the tracker executable compiles, track_frames STAGES
+    uploaded blocks instead of blocking each dispatch on the warm
+    event (the tunnel would idle for the whole compile otherwise,
+    experiments/e2e_27k.py run 1: ~420 s of serialized cold compile).
+    Emitted track results must be bit-identical whether the warm
+    finishes instantly (dispatch per block) or slowly (blocks
+    accumulate in `staged`, then flush)."""
+    cv2 = pytest.importorskip("cv2")
+    import threading
+    import time as _time
+
+    H, W, T = 120, 160, 22
+    path = str(tmp_path / "warm.mp4")
+    wr = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (W, H), False
+    )
+    assert wr.isOpened()
+    base = _texture_image(np.random.default_rng(3), H, W).astype(np.uint8)
+    for t in range(T):
+        wr.write(np.roll(base, t * 2, axis=1))
+    wr.release()
+
+    lens = lens_ops.Lens(ro=0.01, fx=100.0, fy=100.0, cx=W / 2, cy=H / 2)
+
+    class Recorder:
+        def __init__(self):
+            self.calls = []
+
+        def set_track_result(self, idx, ts_a, ts_b, rays_a, rays_b):
+            self.calls.append((
+                idx, np.array(ts_a), np.array(ts_b),
+                np.array(rays_a), np.array(rays_b),
+            ))
+
+    orig = tracking.lk_track_video
+
+    def run(slow_warm):
+        rec = Recorder()
+        if slow_warm:
+            def delayed(*a, **k):
+                if threading.current_thread().name == "tracker-warm":
+                    _time.sleep(1.5)
+                return orig(*a, **k)
+
+            monkeypatch.setattr(tracking, "lk_track_video", delayed)
+        else:
+            monkeypatch.setattr(tracking, "lk_track_video", orig)
+        tracking.track_frames(
+            rec, lens, path, 0, T - 1, grid_step=40, block=4,
+        )
+        return rec.calls
+
+    fast = run(slow_warm=False)
+    # cap staged at 2 so the run also exercises the blocking
+    # warmed.wait() inside the flush loop (staged full mid-compile)
+    monkeypatch.setenv("RSSYNC_TRACK_MAX_STAGED", "2")
+    slow = run(slow_warm=True)
+    assert len(fast) == len(slow) == T - 1  # pairs for frames [0, T-1]
+    for f, s in zip(fast, slow):
+        assert f[0] == s[0]
+        for a, b in zip(f[1:], s[1:]):
+            np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.slow
 def test_decode_pool_matches_serial(tmp_path):
     """The multiprocess DecodePool must yield bit-identical frames,
