@@ -98,13 +98,13 @@ def main() -> int:
         return fr.at[:, :8, :].add(b)
 
     n_disp = (n_pairs_total + seg - 1) // seg  # 15 dispatches / clip
-    biases = jax.random.randint(k1, (2 * n_disp,), 0, 100, jnp.uint8)
+    biases = jax.random.randint(k1, (3 * n_disp,), 0, 100, jnp.uint8)
     fetch(biases)
     frames = perturb(frames, biases[0])  # warm the perturb executable
     fetch(lk_track_video_chunked(
         frames, chunk=16, grid_step=200, logical_hw=(H, W)))
     track_best = np.inf
-    for rep in range(2):
+    for rep in range(3):  # best-of-3: the remote device swings day to day
         t0 = time.time()
         outs = []
         for i in range(n_disp):
@@ -176,7 +176,7 @@ def main() -> int:
     presync_best = np.inf
     sync_best = np.inf
     final = None
-    for rep in range(2):
+    for rep in range(3):  # best-of-3, same rationale as tracking
         t0 = time.time()
         _, best = batched_presync(
             prob.table, wins, delays, jax.random.PRNGKey(10 + rep), wide=True
