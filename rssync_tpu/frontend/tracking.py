@@ -1884,12 +1884,13 @@ def track_frames(
                 )
             carry = frames[-1]
     t0 = time.time()
-    warmed.wait()
-    for s_frames, s_stack in staged:  # blocks staged before warm-up done
-        pending.append((s_frames, lk_track_video(
-            s_stack, grid_step=step, logical_hw=(height, width),
-        )))
-    staged.clear()
+    if staged:  # blocks still staged when the clip ended mid-warm-up
+        warmed.wait()
+        for s_frames, s_stack in staged:
+            pending.append((s_frames, lk_track_video(
+                s_stack, grid_step=step, logical_hw=(height, width),
+            )))
+        staged.clear()
     for p in pending:
         drain(p)
     if timing:
