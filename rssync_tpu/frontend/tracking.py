@@ -1158,6 +1158,25 @@ def pad_frames_host(frames: np.ndarray, levels: int | None = None,
     return out
 
 
+def stack_pad_host(grays: list, n_total: int, H: int, W: int,
+                   Hp: int, Wp: int) -> np.ndarray:
+    """Assemble a (n_total, Hp, Wp) storage-padded u8 block from a
+    list of (H, W) frames in ONE host copy — bit-identical to
+    `pad_frames_host(np.stack(grays + [last] * tail))` but without the
+    intermediate stack/concat copies (the block assembly runs on the
+    tracking critical path; on a 1-core host the extra 93 MB memcpy
+    per 2.7k block was 0.5-6 s of exposed wall)."""
+    k = len(grays)
+    out = np.empty((n_total, Hp, Wp), np.uint8)
+    for i, g in enumerate(grays):
+        out[i, :H, :W] = g
+        out[i, H:, :W] = g[-1:, :]
+    out[:k, :, W:] = out[:k, :, W - 1 : W]
+    if k < n_total:
+        out[k:] = out[k - 1]
+    return out
+
+
 def lk_track_video_chunked(
     frames: jnp.ndarray,
     pts: jnp.ndarray | None = None,
@@ -1835,16 +1854,12 @@ def track_frames(
             # skips the ~0.18 ms/pair on-device u8 pad pass. Short
             # tail blocks pad to the full block by repeating the last
             # frame (repeated frames track to zero flow and are never
-            # emitted) so ONE executable serves every block.
-            stack_np = np.stack([f.gray for f in frames])
-            if len(frames) < block + 1:
-                stack_np = np.concatenate([
-                    stack_np,
-                    np.repeat(
-                        stack_np[-1:], block + 1 - len(frames), axis=0
-                    ),
-                ])
-            stack_np = pad_frames_host(stack_np)
+            # emitted) so ONE executable serves every block. One-copy
+            # assembly (see stack_pad_host).
+            stack_np = stack_pad_host(
+                [f.gray for f in frames], block + 1, height, width,
+                Hp, Wp,
+            )
             t2 = time.time()
             stack = jnp.asarray(stack_np)  # u8 upload (async)
             t3 = time.time()

@@ -286,6 +286,40 @@ def test_hybrid_chunked_matches_block(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_stack_pad_host_matches_stack_then_pad(rng):
+    """The one-copy block assembly (stack_pad_host) must be
+    bit-identical to the old stack -> concat-tail -> pad_frames_host
+    construction, including the short-tail repeat and the
+    corner-replication order of the edge pads."""
+    from rssync_tpu.frontend.tracking import (
+        LK_ITERS,
+        LK_RADIUS,
+        _fine_plan,
+        _stored_dims,
+        auto_levels,
+        pad_frames_host,
+        stack_pad_host,
+    )
+
+    H, W = 123, 201
+    lv = auto_levels(H, W)
+    fine0 = 0 in {l for l, *_ in _fine_plan(lv, LK_ITERS, LK_RADIUS)}
+    Hp, Wp = _stored_dims(H, W, "fine" if fine0 else "lane")
+    grays = [
+        rng.integers(0, 255, (H, W)).astype(np.uint8) for _ in range(4)
+    ]
+    for n_total in (4, 7):
+        old = np.stack(grays)
+        if n_total > len(grays):
+            old = np.concatenate(
+                [old, np.repeat(old[-1:], n_total - len(grays), axis=0)]
+            )
+        old = pad_frames_host(old, lv)
+        new = stack_pad_host(grays, n_total, H, W, Hp, Wp)
+        assert new.shape == old.shape == (n_total, Hp, Wp)
+        np.testing.assert_array_equal(old, new)
+
+
 def test_staged_blocks_during_warm_match_blocking_order(tmp_path, rng,
                                                         monkeypatch):
     """While the tracker executable compiles, track_frames STAGES
