@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 import time
 from dataclasses import dataclass
 from functools import lru_cache, partial
@@ -82,6 +83,14 @@ STRIP_ROWS = 40
 STRIP_PAD = 24
 #: in-flight async copies per strip-DMA program (pipeline depth)
 DMA_SLOTS = 2
+
+#: set when the most recent track_frames' tracker-critical compiles
+#: (the LK executable + the drain's ray-lift) have finished. The
+#: remote compile service serializes per client, so the pipeline's
+#: engine warm (recipe._start_engine_warm) waits on this gate to keep
+#: its big batched PreSync/Sync compiles from queueing AHEAD of the
+#: compiles that gate the tracking pipeline's start.
+TRACKER_WARM_GATE = threading.Event()
 
 
 def auto_levels(height: int, width: int) -> int:
@@ -1745,8 +1754,6 @@ def track_frames(
     # in flight; decode (host, via the decode-ahead FrameFeed
     # workers), upload, and tracking (device+tunnel) all overlap
     # instead of serializing per block
-    import threading
-
     DEPTH = 3
     MAX_STAGED = max(
         1, int(os.environ.get("RSSYNC_TRACK_MAX_STAGED", "12"))
@@ -1763,12 +1770,28 @@ def track_frames(
 
     # warm the single tracker executable on device-GENERATED zeros (no
     # frame upload) while the first frames decode: the remote XLA
-    # compile (~16 s) otherwise serializes behind the first block
+    # compile (~16 s normally, up to ~25 min in degraded service
+    # phases) otherwise serializes behind the first block
     lv = auto_levels(height, width)
     fine0 = 0 in {l for l, *_ in _fine_plan(lv, LK_ITERS, LK_RADIUS)}
     Hp, Wp = _stored_dims(height, width, "fine" if fine0 else "lane")
     warmed = threading.Event()
     tstart = time.time()
+
+    # the grid endpoint's rays are the same for every pair: lift once
+    # per clip (emit_track_result recomputed them per pair — 2 device
+    # round-trips x pairs, ~2 s/block over the remote tunnel). MUST
+    # run before the warm thread starts: the remote compile service
+    # serializes per client, so once the big LK compile is in flight
+    # this tiny jit queues behind it and the WHOLE decode/upload
+    # pipeline stalls until the LK compile lands (measured: first
+    # block at @1498 s on a 1497 s LK compile).
+    rays_a_np = np.asarray(
+        lens_ops.rays_from_normalized(
+            lens_ops.undistort_points(lens, pts_j)
+        ),
+        np.float64,
+    )
 
     def _warm_tracker():
         try:
@@ -1784,20 +1807,23 @@ def track_frames(
                     f"# tracker warm (compile) done @{time.time()-tstart:.0f}s",
                     flush=True,
                 )
+        try:
+            # also warm the drain's batched undistort/ray-lift
+            # executable (shape (block*N, 2) — distinct from the
+            # rays_a executable above; cold it cost the first drain
+            # ~18 s of exposed compile)
+            np.asarray(lens_ops.rays_from_normalized(
+                lens_ops.undistort_points(lens, jnp.zeros(
+                    (block * pts_j.shape[0], 2), jnp.float32))))
+        except Exception:  # noqa: BLE001
+            pass
+        finally:
+            TRACKER_WARM_GATE.set()
 
+    TRACKER_WARM_GATE.clear()
     threading.Thread(
         target=_warm_tracker, daemon=True, name="tracker-warm"
     ).start()
-
-    # the grid endpoint's rays are the same for every pair: lift once
-    # per clip (emit_track_result recomputed them per pair — 2 device
-    # round-trips x pairs, ~2 s/block over the remote tunnel)
-    rays_a_np = np.asarray(
-        lens_ops.rays_from_normalized(
-            lens_ops.undistort_points(lens, pts_j)
-        ),
-        np.float64,
-    )
 
     def drain(p):
         """Fetch one block's tracked grids and feed set_track_result.

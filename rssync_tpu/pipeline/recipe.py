@@ -168,6 +168,14 @@ def _start_engine_warm(sp, lens, recipe: dict, progress: bool):
 
     def warm():
         try:
+            # queue BEHIND the tracker-critical compiles: the remote
+            # compile service serializes per client, and tracking
+            # cannot start until its LK + ray-lift executables exist —
+            # these batched engine programs are only needed AFTER
+            # tracking, so let the tracker's warm win the queue. The
+            # timeout is a safety net for flows that never track.
+            from rssync_tpu.frontend.tracking import TRACKER_WARM_GATE
+            TRACKER_WARM_GATE.wait(timeout=1800)
             dummy = SyncProblem(seed=0x5EED)
             dummy._table = sp._table
             dummy._sample_rate = sp._sample_rate
@@ -271,6 +279,11 @@ def _prepare_problem(
                 method=method, progress=progress, ranges=ranges,
             ),
         )
+    # no-op for the lk path (its warm thread already set the gate);
+    # unblocks the engine warm on paths with no tracker warm (track
+    # cache hit, dis tracking)
+    from rssync_tpu.frontend.tracking import TRACKER_WARM_GATE
+    TRACKER_WARM_GATE.set()
     if warm_thread is not None:
         with timings.stage("warm_join"):
             warm_thread.join()
