@@ -412,7 +412,7 @@ def init_motion(
     return M, var_k
 
 
-@partial(jax.jit, static_argnames=("wide", "motion_opt"))
+@partial(jax.jit, static_argnames=("wide", "motion_opt", "delay_grad"))
 def sync_window(
     table: SplineTable,
     win: TrackWindow,
@@ -422,6 +422,7 @@ def sync_window(
     key: jax.Array,
     wide: bool = False,
     motion_opt: str = "irls",
+    delay_grad: str = "jvp",
 ) -> SyncResult:
     """Full Sync of one window (ref core_private.cpp:211-334).
 
@@ -435,6 +436,12 @@ def sync_window(
 
     motion_opt: "irls" (default, see motion_irls) or "lbfgs" (the
     reference-faithful batched L-BFGS run to MinGradientNorm).
+
+    delay_grad: "jvp" (default) computes the scalar delay gradient by
+    forward-mode jax.jvp — one fused forward pass, no transposed
+    spline-select chain in the loop body (measured: 4-pass batched
+    wall 0.241 -> 0.212 s, experiments/r4_vg_jvp.py); "vjp" keeps
+    value_and_grad. Same derivative up to float rounding.
     """
     from rssync_tpu.core.problem import make_wide_bands
 
@@ -477,7 +484,12 @@ def sync_window(
         M = refine_motion(P, M)
         # 2. Nesterov-lookahead backtracked delay step (ref :298-305)
         x0 = delay - DELAY_MOMENTUM * v
-        fval, grad = delay_vg(x0, M)
+        if delay_grad == "jvp":
+            fval, grad = jax.jvp(
+                lambda d: delay_loss(d, M), (x0,), (jnp.ones((), dtype),)
+            )
+        else:
+            fval, grad = delay_vg(x0, M)
         step = _backtrack_step(lambda x: delay_loss(x, M), x0, fval, grad)
         v = DELAY_MOMENTUM * v + step
         delay = delay + v
