@@ -177,6 +177,29 @@ def test_sync_refines_to_submillisecond(engine_problem, scene):
     assert int(res.iterations) < 400
 
 
+def test_sync_jvp_gradient_matches_vjp(engine_problem, scene):
+    """delay_grad="jvp" (default) and "vjp" are the same derivative up
+    to float rounding: full Sync trajectories must agree to a few µs
+    and land on the same final delay (regression pin for the
+    forward-mode delay gradient, experiments/r4_vg_jvp.py)."""
+    table, win, _ = engine_problem
+    out = {}
+    for mode in ("jvp", "vjp"):
+        out[mode] = sync_mod.sync_window(
+            table, win,
+            jnp.float32(scene.true_delay + 0.004),
+            jnp.float32(scene.true_delay + 0.004),
+            jnp.float32(0.2),
+            jax.random.PRNGKey(2),
+            delay_grad=mode,
+        )
+    assert abs(float(out["jvp"].delay) - float(out["vjp"].delay)) < 2e-6
+    tj = np.asarray(out["jvp"].trace_delay)
+    tv = np.asarray(out["vjp"].trace_delay)
+    n = min(int(out["jvp"].iterations), int(out["vjp"].iterations))
+    np.testing.assert_allclose(tj[:n], tv[:n], atol=5e-6)
+
+
 def test_sync_with_translation_scene():
     """Strong-translation scene — the per-frame translation direction
     must absorb parallax (the reference's 'table' dataset regime)."""
