@@ -75,6 +75,42 @@ def test_batched_recipe_recovers_delay(clip, tmp_path):
     assert q.rmse < 0.5
 
 
+def test_recipe_is_telemetry_format_independent(clip, tmp_path):
+    """Re-encode the clip's gcsv rates as a Betaflight binary blackbox
+    log (.bbl) and run the identical recipe: the full pipeline (ingest
+    -> integrate -> track -> presync -> sync) must recover the same
+    offsets up to the blackbox raw quantization. Integrates the L1
+    format dispatch (SURVEY §2.3; reference lib.rs:29-37 routes every
+    format through one entry point) with the end-to-end driver."""
+    from gpmf_fixture import write_bbl
+
+    from rssync_tpu.frontend.telemetry import parse_blackbox_bbl, parse_gcsv
+
+    g = parse_gcsv(clip.gyro_path)
+    times_us = np.round(g.timestamps * 1e6).astype(np.int64)
+    scale = 2.0**-37  # float32-exact; rad/us per LSB -> ~7.3e-6 rad/s
+    raw = np.round(g.gyro / (scale * 1e6)).astype(np.int64)
+    bbl = tmp_path / "clip.bbl"
+    write_bbl(str(bbl), times_us, raw, scale)
+    d = parse_blackbox_bbl(str(bbl))
+    np.testing.assert_allclose(d.timestamps, g.timestamps, atol=1e-9)
+    np.testing.assert_allclose(d.gyro, g.gyro, atol=scale * 1e6)
+
+    d_a = tmp_path / "gcsv_run"
+    d_b = tmp_path / "bbl_run"
+    d_a.mkdir()
+    d_b.mkdir()
+    res_a = run_recipe(make_recipe(clip, d_a), batched=True, seed=0)
+    res_b = run_recipe(
+        make_recipe(clip, d_b, input__gyro_path=str(bbl)),
+        batched=True, seed=0,
+    )
+    assert res_a.syncpoints == res_b.syncpoints
+    for da, db in zip(res_a.delays_ms, res_b.delays_ms):
+        assert abs(da - db) < 0.05  # ms; quantization-level agreement
+        assert abs(db - clip.true_delay * 1000.0) < 0.5
+
+
 def test_sequential_matches_batched(clip, tmp_path):
     recipe = make_recipe(clip, tmp_path)
     res_b = run_recipe(recipe, batched=True, seed=0)
