@@ -580,9 +580,13 @@ bool parse_plain_csv(const uint8_t* buf, size_t len, std::vector<double>* ts,
   size_t ncols = 0;
   bool first = true, first_nan = false;
   while (ln.next(&s, &e)) {
-    const char* hash =
-        static_cast<const char*>(std::memchr(s, '#', size_t(e - s)));
-    if (hash != nullptr) e = hash;
+    // e >= s by Lines::next; the explicit guard keeps the compiler's
+    // range analysis (and readers) certain the bound can't wrap
+    if (e > s) {
+      const char* hash =
+          static_cast<const char*>(std::memchr(s, '#', size_t(e - s)));
+      if (hash != nullptr) e = hash;
+    }
     while (s < e && std::isspace((unsigned char)*s)) ++s;
     while (e > s && std::isspace((unsigned char)e[-1])) --e;
     if (s >= e) continue;
