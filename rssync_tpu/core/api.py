@@ -271,11 +271,9 @@ class SyncProblem:
         `for (d = rough - radius; d < rough + radius; d += step)`."""
         table = self._require_gyro()
         win = self._window(frame_begin, frame_end, closed=False)
-        delays = []
-        d = initial_delay - search_radius
-        while d < initial_delay + search_radius:
-            delays.append(d)
-            d += search_step
+        delays = presync_mod.presync_grid(
+            initial_delay, search_radius, search_step
+        )
         delays_j = jnp.asarray(np.asarray(delays), self._dtype)
         costs = presync_mod.presync_scan(
             table, win, delays_j, self._next_key(),

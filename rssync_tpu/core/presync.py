@@ -35,6 +35,24 @@ PRESYNC_RANSAC_ITERS = 20
 DELAY_CHUNK = 4
 
 
+def presync_grid(initial_delay: float, radius: float, step: float) -> list:
+    """The reference's f64-accumulated PreSync delay grid
+    (ref core_private.cpp:69-70: `for (d = rough - radius;
+    d < rough + radius; d += step)`). The sequential f64 accumulation
+    is parity-critical — floating-point accumulation order decides
+    whether the final grid point lands inside or outside the half-open
+    bound — so every call site shares THIS function (api.pre_sync,
+    pipeline.recipe, parallel.multi, pipeline.guess_orient)."""
+    grid = []
+    d = float(initial_delay) - float(radius)
+    hi = float(initial_delay) + float(radius)
+    step = float(step)
+    while d < hi:
+        grid.append(d)
+        d += step
+    return grid
+
+
 def cost_with_motion(P: jnp.ndarray, M: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
     """Window cost given per-frame translation directions M (F, 3).
 

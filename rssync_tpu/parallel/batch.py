@@ -82,9 +82,9 @@ def batched_presync(
 
     W = wins.frame_mask.shape[0]
     D = delays.shape[0]
+    center = 0.5 * (jnp.min(delays) + jnp.max(delays))
     bands = None
     if wide:
-        center = 0.5 * (jnp.min(delays) + jnp.max(delays))
         bands = jax.vmap(lambda w: make_wide_bands(table, w, center))(wins)
     pad = (-D) % DELAY_CHUNK
     delays_p = jnp.pad(delays, (0, pad), constant_values=jnp.inf)
@@ -95,6 +95,10 @@ def batched_presync(
 
     def one_chunk(args):
         ds, ks = args  # (K,), (K, W, 2)
+        # padded (inf) grid entries evaluate at the grid center (finite,
+        # so no inf flows through floor/int32 casts — the same sanitize
+        # as parallel/multi.batched_presync_multi) and score inf below.
+        ds = jnp.where(jnp.isfinite(ds), ds, center)
         # The chunk is one flattened B = K x W batch for the scoring
         # kernel (guess_motion_window_batched): _b_tile problems per
         # Pallas program instead of one grid cell per (delay, window)

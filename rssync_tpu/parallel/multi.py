@@ -239,15 +239,11 @@ def sync_clips(
     t_stack, w_open = stack_problems(tables, wins_open, margin)
     _, w_closed = stack_problems(tables, wins_closed, margin)
 
-    def clip_grid(ci):
-        g = []
-        d = inits[ci] - radii[ci]
-        while d < inits[ci] + radii[ci]:
-            g.append(d)
-            d += steps[ci]
-        return g
+    from rssync_tpu.core.presync import presync_grid
 
-    grids = [clip_grid(ci) for ci in range(n)]
+    grids = [
+        presync_grid(inits[ci], radii[ci], steps[ci]) for ci in range(n)
+    ]
     Dmax = max(len(g) for g in grids)
     delays_np = np.full((len(owners), Dmax), np.inf, np.float32)
     for wi, ci in enumerate(owners):

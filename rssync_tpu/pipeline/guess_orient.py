@@ -100,11 +100,9 @@ def run_guess_orient(
     initial = float(inp.get("initial_guess", 0.0)) / 1000.0
     radius = float(inp.get("simple_presync_radius", 200.0)) / 1000.0
     step = float(inp.get("simple_presync_step", 2.0)) / 1000.0
-    grid = []
-    d = initial - radius
-    while d < initial + radius:
-        grid.append(d)
-        d += step
+    from rssync_tpu.core.presync import presync_grid
+
+    grid = presync_grid(initial, radius, step)
     delays = jnp.asarray(np.asarray(grid), jnp.float32)
 
     costs = np.asarray(_variant_costs(stacked, win, delays, sp.next_key()))
