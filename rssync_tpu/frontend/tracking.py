@@ -84,13 +84,11 @@ STRIP_PAD = 24
 #: in-flight async copies per strip-DMA program (pipeline depth)
 DMA_SLOTS = 2
 
-#: set when the most recent track_frames' tracker-critical compiles
-#: (the LK executable + the drain's ray-lift) have finished. The
-#: remote compile service serializes per client, so the pipeline's
-#: engine warm (recipe._start_engine_warm) waits on this gate to keep
-#: its big batched PreSync/Sync compiles from queueing AHEAD of the
-#: compiles that gate the tracking pipeline's start.
-TRACKER_WARM_GATE = threading.Event()
+# NOTE: the tracker-warm gate is per-invocation (the `warm_gate`
+# parameter of track_frames), created by the caller — a module-global
+# Event stayed set across runs, letting a second run's engine warm
+# jump the compile queue ahead of that run's tracker compiles (and
+# cross-talked between concurrent pipelines).
 
 
 def auto_levels(height: int, width: int) -> int:
@@ -1697,6 +1695,7 @@ def track_frames(
     progress: bool = False,
     block: int = TRACK_BLOCK,
     ranges=None,
+    warm_gate: threading.Event | None = None,
 ) -> None:
     """Track every consecutive frame pair in [frame_begin, frame_end)
     and feed `problem.set_track_result` (ref: core_testcode.cpp:97-162).
@@ -1714,7 +1713,16 @@ def track_frames(
     entirely. The reference decodes its whole frame_range inline
     (core_testcode.cpp:99-122) but equally never reads inter-window
     pairs, so recipe outputs are identical. None = every pair.
+
+    warm_gate: optional Event set once the tracker-critical compiles
+    (the LK executable + the drain's ray-lift) have finished. The
+    remote compile service serializes per client, so the pipeline's
+    engine warm (recipe._start_engine_warm) waits on this gate to keep
+    its big batched PreSync/Sync compiles from queueing AHEAD of the
+    compiles that gate the tracking pipeline's start. Per-invocation
+    (caller-created) so concurrent or repeated runs never cross-talk.
     """
+    warm_gate = warm_gate if warm_gate is not None else threading.Event()
     if ranges is None:
         ranges = [(frame_begin, frame_end)]
     ranges = _merge_pair_ranges(ranges, frame_begin, frame_end)
@@ -1818,9 +1826,8 @@ def track_frames(
         except Exception:  # noqa: BLE001
             pass
         finally:
-            TRACKER_WARM_GATE.set()
+            warm_gate.set()
 
-    TRACKER_WARM_GATE.clear()
     threading.Thread(
         target=_warm_tracker, daemon=True, name="tracker-warm"
     ).start()
@@ -1832,6 +1839,11 @@ def track_frames(
         call (padded tail rows included, so every block reuses one
         executable) — per-pair calls cost a tunnel round-trip each.
         Elementwise undistort is bitwise-identical either way."""
+        # wait for the warm thread's ray-lift compile: the first drain
+        # can otherwise submit the IDENTICAL (block*N, 2) compile to
+        # the per-client-serialized remote compile service and stall
+        # behind its duplicate. warm_gate is always set (finally).
+        warm_gate.wait()
         p_frames, fut = p
         tracked_all = np.asarray(fut)  # (block, N, 2) f32
         rb = lens_ops.rays_from_normalized(
@@ -1899,28 +1911,35 @@ def track_frames(
             # ~93 MB host). Dispatch and drain order are unchanged, so
             # outputs are bit-identical to the blocking order.
             staged.append((frames, stack))
-            t4 = t5 = t3
+            # timing accumulators: several staged blocks can flush in
+            # one outer iteration, so warmwait/dispatch/drain sum over
+            # every flushed block instead of reporting only the last
+            warmwait_s = dispatch_s = drain_s = 0.0
+            t_mark = t3
             while staged and (
                 warmed.is_set() or len(staged) >= MAX_STAGED
             ):
                 warmed.wait()
                 s_frames, s_stack = staged.pop(0)
                 t4 = time.time()
+                warmwait_s += t4 - t_mark
                 fut = lk_track_video(
                     s_stack, grid_step=step, logical_hw=(height, width),
                 )  # async dispatch; not fetched yet
                 t5 = time.time()
+                dispatch_s += t5 - t4
                 pending.append((s_frames, fut))
                 if len(pending) >= DEPTH:
                     drain(pending.pop(0))
-            t6 = time.time()
+                t_mark = time.time()
+                drain_s += t_mark - t5
             if timing:
                 print(
                     f"# block {frames[0].index} @{t0-tstart:.0f}s: "
                     f"decode {t1-t0:.2f} "
                     f"stack {t2-t1:.2f} upload {t3-t2:.2f} "
-                    f"warmwait {t4-t3:.2f} dispatch {t5-t4:.2f} "
-                    f"drain {t6-t5:.2f}",
+                    f"warmwait {warmwait_s:.2f} dispatch {dispatch_s:.2f} "
+                    f"drain {drain_s:.2f}",
                     flush=True,
                 )
             carry = frames[-1]

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -100,19 +101,10 @@ def _window_pair_ranges(recipe: dict) -> list[tuple[int, int]] | None:
     ]
 
 
-def _presync_grid(initial_delay: float, radius: float, step: float) -> list:
-    """The reference's f64-accumulated delay grid
-    (ref core_private.cpp:69-70: `for (d = rough - radius;
-    d < rough + radius; d += step)`)."""
-    grid = []
-    d = initial_delay - radius
-    while d < initial_delay + radius:
-        grid.append(d)
-        d += step
-    return grid
+from rssync_tpu.core.presync import presync_grid as _presync_grid  # noqa: E402
 
 
-def _start_engine_warm(sp, lens, recipe: dict, progress: bool):
+def _start_engine_warm(sp, lens, recipe: dict, progress: bool, warm_gate):
     """Start compiling the engine's batched programs in a background
     thread, overlapping the decode-bound tracking stage.
 
@@ -173,9 +165,11 @@ def _start_engine_warm(sp, lens, recipe: dict, progress: bool):
             # cannot start until its LK + ray-lift executables exist —
             # these batched engine programs are only needed AFTER
             # tracking, so let the tracker's warm win the queue. The
+            # gate is per-invocation (created by _prepare_problem, set
+            # by track_frames' warm thread — or pre-set when the
+            # tracking stage runs no device compiles at all). The
             # timeout is a safety net for flows that never track.
-            from rssync_tpu.frontend.tracking import TRACKER_WARM_GATE
-            TRACKER_WARM_GATE.wait(timeout=1800)
+            warm_gate.wait(timeout=1800)
             dummy = SyncProblem(seed=0x5EED)
             dummy._table = sp._table
             dummy._sample_rate = sp._sample_rate
@@ -240,6 +234,8 @@ def _prepare_problem(
     decode_scope: "windows" (default) decodes/tracks only the pairs
     inside syncpoint windows; "full" decodes the whole frame_range
     (the reference's behavior — same outputs, slower host decode)."""
+    import threading
+
     from rssync_tpu.utils import track_cache
 
     inp = recipe["input"]
@@ -262,28 +258,38 @@ def _prepare_problem(
         ranges = None
     else:
         raise ValueError(f"unknown decode_scope {decode_scope!r}")
+    key = track_cache.cache_key(
+        inp["video_path"], frame_start, frame_end,
+        inp.get("grid_step"), method, tuple(lens.as_array()),
+        ranges=ranges,
+    ) if track_cache_dir else ""
+    warm_gate = threading.Event()
+    # when the tracking stage submits no device compiles — host-only
+    # DIS flow, or an upcoming track-cache hit — nothing contends for
+    # the compile service, so the engine warm starts immediately
+    # instead of idling behind the whole tracking stage
+    cache_will_hit = bool(track_cache_dir) and os.path.exists(
+        os.path.join(track_cache_dir, f"tracks_{key}.npz")
+    )
+    if method != "lk" or cache_will_hit:
+        warm_gate.set()
     warm_thread = (
-        _start_engine_warm(sp, lens, recipe, progress) if warm else None
+        _start_engine_warm(sp, lens, recipe, progress, warm_gate)
+        if warm else None
     )
     with timings.stage("tracking"):
-        key = track_cache.cache_key(
-            inp["video_path"], frame_start, frame_end,
-            inp.get("grid_step"), method, tuple(lens.as_array()),
-            ranges=ranges,
-        ) if track_cache_dir else ""
         track_cache.tracks_cached_or_compute(
             sp, track_cache_dir, key,
             lambda: track_frames(
                 sp, lens, inp["video_path"], frame_start, frame_end,
                 grid_step=inp.get("grid_step"),
                 method=method, progress=progress, ranges=ranges,
+                warm_gate=warm_gate,
             ),
         )
     # no-op for the lk path (its warm thread already set the gate);
-    # unblocks the engine warm on paths with no tracker warm (track
-    # cache hit, dis tracking)
-    from rssync_tpu.frontend.tracking import TRACKER_WARM_GATE
-    TRACKER_WARM_GATE.set()
+    # unblocks the engine warm on any path that skipped tracker warm
+    warm_gate.set()
     if warm_thread is not None:
         with timings.stage("warm_join"):
             warm_thread.join()
@@ -361,9 +367,24 @@ def run_recipe(
 
     csv_path = output.get("csv_path")
     if csv_path:
+        # output.gyroflow_offsets (opt-in extension): append a third
+        # column with the value to enter in GyroFlow's manual offset
+        # field (sign flip + lens.ro/2 frame-center shift — the
+        # thesis's manual-verification convention, thesis p.15/p.32).
+        gf_ro = None
+        if bool(output.get("gyroflow_offsets", False)):
+            from rssync_tpu.analysis.metrics import to_gyroflow_offset
+
+            gf_ro = load_lens_profile(
+                inp["lens_profile"]["path"], inp["lens_profile"]["name"]
+            ).ro
         with open(csv_path, "w") as f:
             for pos, dms in zip(syncpoints, delays_ms):
-                f.write(f"{pos},{dms:g}\n")
+                if gf_ro is None:
+                    f.write(f"{pos},{dms:g}\n")
+                else:
+                    gf_ms = 1000.0 * to_gyroflow_offset(dms / 1000.0, gf_ro)
+                    f.write(f"{pos},{dms:g},{gf_ms:g}\n")
 
     return RecipeResult(
         syncpoints=syncpoints,
