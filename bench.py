@@ -242,6 +242,29 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # ---- platform-floor ratios (VERDICT r4 #2) ---------------------------
+    # measured device floors (utils/floors.py; derivations in
+    # docs/KERNELS.md "Platform floors") turn "we believe we're near
+    # floor" into a per-round regression detector: a growing x_floor
+    # means the stage drifted from the hardware, independent of
+    # tunnel/day variance.
+    from rssync_tpu.utils.floors import floor_report
+
+    floors = floor_report(
+        track_time, presync_best, sync_best,
+        n_pairs=n_disp * seg, height=H, width=W,
+        n_delays=len(delays), n_windows=Wn, n_frames=F,
+        sync_passes=4,
+    )
+    for name, fr in floors.items():
+        print(
+            f"# floor {name}: {fr['x_floor']}x floor "
+            f"({fr['measured_s']}s vs {fr['floor_s']}s)"
+            + ("  ** WARN: >2x floor — investigate regression"
+               if fr["warn"] else ""),
+            file=sys.stderr,
+        )
+
     # ---- compiled Pallas kernel parity (VERDICT r3 #4) -------------------
     # runs every round on the chip; the CPU suite only interprets these
     from rssync_tpu.testing.tpu_selftest import run_selftest
@@ -273,6 +296,7 @@ def main() -> int:
                     "onvideo_track_med_px": round(track_med_px, 3),
                     "onvideo_track_p95_px": round(track_p95_px, 3),
                     "pallas_selftest": "pass" if selftest["ok"] else "FAIL",
+                    "floors": floors,
                 },
             }
         )

@@ -35,6 +35,19 @@ def sync_rmse(frames: np.ndarray, delays_ms: np.ndarray) -> SyncQuality:
     )
 
 
+def to_gyroflow_offset(delay_s, readout_s):
+    """Convert an engine delay (seconds) to the value entered in
+    GyroFlow's manual "Gyro offset" field: the sign flips, plus a
+    +readout/2 frame-center convention shift (thesis p.15/p.32: for
+    the Hero-6's 11.11 ms readout the shift is +5.555 ms; BASELINE.md
+    "Human-visible error threshold" row). `readout_s` is the lens
+    profile's `ro` — the full-frame rolling-shutter readout time in
+    seconds. Array-friendly: numpy broadcasts both arguments."""
+    return -np.asarray(delay_s, np.float64) + np.asarray(
+        readout_s, np.float64
+    ) / 2.0
+
+
 def sync_rmse_from_csv(path: str) -> SyncQuality:
     """Metric over a `<frame>,<delay_ms>` sync CSV (the driver's
     output format, ref core_testcode.cpp:315)."""

@@ -901,3 +901,12 @@ def parse_blackbox_csv(path: str) -> GyroData:
         timestamps=arr[:, 0] * 1e-6,  # us -> s
         gyro=np.deg2rad(arr[:, 1:4]),  # deg/s -> rad/s
     )
+
+
+if __name__ == "__main__":
+    # `python -m rssync_tpu.frontend.telemetry --probe FILE`: the
+    # first-contact diagnostic kit (frontend/probe.py) — dump what the
+    # parser sees and where parsing stops on failure.
+    from rssync_tpu.frontend.probe import main as _probe_main
+
+    raise SystemExit(_probe_main())

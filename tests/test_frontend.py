@@ -167,8 +167,135 @@ def test_sync_rmse_metric(tmp_path):
     assert q2.rmse == pytest.approx(q.rmse)
 
 
+def test_to_gyroflow_offset():
+    """The thesis's manual-verification convention (thesis p.15/p.32):
+    sign flip + readout/2 frame-center shift — for the Hero-6's
+    11.11 ms readout the shift is +5.555 ms."""
+    from rssync_tpu.analysis.metrics import to_gyroflow_offset
+
+    # zero engine delay -> pure +r/2 convention offset
+    assert to_gyroflow_offset(0.0, 0.01111) == pytest.approx(0.005555)
+    # sign flips: a +12.3 ms engine delay enters GyroFlow as -12.3 + 5.555
+    assert to_gyroflow_offset(0.0123, 0.01111) == pytest.approx(
+        -0.0123 + 0.005555
+    )
+    # array-friendly
+    out = to_gyroflow_offset(np.array([0.0, 0.01]), 0.02)
+    np.testing.assert_allclose(out, [0.01, 0.0])
+
+
+def test_presync_grid_matches_reference_loop():
+    """presync_grid must reproduce the reference's f64 accumulation
+    (core_private.cpp:69-70) bit-for-bit — including whether the last
+    point lands inside the half-open bound."""
+    from rssync_tpu.core.presync import presync_grid
+
+    for init, radius, step in [
+        (0.0, 0.2, 0.002),
+        (-0.0123, 0.05, 0.003),
+        (1.5, 0.1, 0.007),
+        (0.0, 0.01, 0.002),
+    ]:
+        ref = []
+        d = init - radius
+        while d < init + radius:
+            ref.append(d)
+            d += step
+        got = presync_grid(init, radius, step)
+        assert got == ref  # exact f64 equality, not approx
+
+
 def test_bad_gyro_file(tmp_path):
     p = tmp_path / "junk.gcsv"
     p.write_text("hello\nworld\n")
     with pytest.raises(SyncPanic):
         telemetry.load_gyro(str(p), prefer_native=False)
+
+
+def _probe_to_text(path, orient=None):
+    import io
+
+    from rssync_tpu.frontend.probe import probe_file
+
+    out = io.StringIO()
+    ok = probe_file(str(path), orient, out=out)
+    return ok, out.getvalue()
+
+
+def test_probe_gpmf_mp4(tmp_path):
+    """The first-contact kit dumps box tree, track candidates, KLV
+    tree, sample counts, and rate estimate for a healthy GPMF MP4."""
+    from gpmf_fixture import write_gpmf_mp4
+
+    n = 400
+    t = np.arange(n) / 200.0
+    g = np.stack([np.sin(3 * t), np.cos(2 * t), 0.5 * t], axis=1)
+    p = tmp_path / "clip.mp4"
+    write_gpmf_mp4(str(p), g, rate_hz=200.0)
+    ok, text = _probe_to_text(p)
+    assert ok
+    for needle in ("box tree", "moov", "trak", "GPMF", "KLV tree",
+                   "GYRO", "SCAL", "samples: 400", "200.00 Hz",
+                   "strictly increasing: True", "finite: True"):
+        assert needle in text, f"probe output missing {needle!r}:\n{text}"
+
+
+def test_probe_reports_where_parsing_stopped(tmp_path):
+    """A truncated MP4 must produce a diagnosis — where the box walk
+    stopped and which parse raised — not a silent empty result."""
+    from gpmf_fixture import write_gpmf_mp4
+
+    n = 400
+    g = np.zeros((n, 3))
+    p = tmp_path / "clip.mp4"
+    write_gpmf_mp4(str(p), g, rate_hz=200.0)
+    trunc = tmp_path / "trunc.mp4"
+    trunc.write_bytes(p.read_bytes()[:1000])
+    ok, text = _probe_to_text(trunc)
+    assert not ok
+    assert "box walk stopped" in text
+    assert "PARSE FAILED" in text
+    assert "at " in text  # traceback frames locating the failure
+
+
+def test_floor_model():
+    """The committed platform-floor constants must reproduce the r4
+    measured analysis: track ~1.5x, presync ~1.05x, sync ~1.1x at the
+    round-4 bench numbers (docs/KERNELS.md 'Platform floors')."""
+    from rssync_tpu.utils.floors import floor_report
+
+    fr = floor_report(
+        0.935, 0.226, 0.205,
+        n_pairs=3600, height=2028, width=2704,
+        n_delays=200, n_windows=30, n_frames=60,
+    )
+    assert 1.3 < fr["track"]["x_floor"] < 1.8
+    assert 0.9 < fr["presync"]["x_floor"] < 1.3
+    assert 0.9 < fr["sync4x"]["x_floor"] < 1.4
+    assert not any(v["warn"] for v in fr.values())
+    # a 3x-regressed stage must warn
+    bad = floor_report(
+        3.0, 0.226, 0.205,
+        n_pairs=3600, height=2028, width=2704,
+        n_delays=200, n_windows=30, n_frames=60,
+    )
+    assert bad["track"]["warn"]
+
+
+def test_probe_gcsv_and_cli(tmp_path):
+    """Text formats get a header dump; the CLI returns 0/1."""
+    from rssync_tpu.frontend.probe import main
+
+    p = tmp_path / "log.gcsv"
+    p.write_text(
+        "GYROFLOW IMU LOG\ntscale,0.001\ngscale,1\nascale,1\n"
+        "t,gx,gy,gz\n"
+        + "".join(f"{i},0.1,0.2,0.3\n" for i in range(100))
+    )
+    ok, text = _probe_to_text(p)
+    assert ok
+    assert "first" in text and "tscale" in text
+    assert main(["--probe", str(p)]) == 0
+    bad = tmp_path / "junk.gcsv"
+    bad.write_text("hello\nworld\n")
+    assert main(["--probe", str(bad)]) == 1
