@@ -328,6 +328,15 @@ class SyncProblem:
         initial +- radius inclusive (ref: core_private.cpp:336-361).
         Returns (delays, costs) arrays instead of filling caller
         pointers."""
+        from rssync_tpu.utils.checks import SyncPanic
+
+        if point_count < 2:
+            # the reference divides by (point_count - 1) with integer
+            # arithmetic (ref :345) — point_count=1 is 0/0, a SIGFPE
+            # crash there and NaN output here; reject it clearly
+            raise SyncPanic(
+                f"debug-pre-sync: point_count must be >= 2, got {point_count}"
+            )
         table = self._require_gyro()
         win = self._window(frame_begin, frame_end, closed=False)
         i = np.arange(point_count, dtype=np.float64)

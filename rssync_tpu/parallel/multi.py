@@ -233,6 +233,11 @@ def sync_clips(
             )
             owners.append(ci)
 
+    if not owners:
+        # every clip's schedule is empty (sync_window doesn't fit):
+        # nothing to stack or launch — per-clip empty results
+        return [[] for _ in problems]
+
     margin = max(
         abs(i0) + r for i0, r in zip(inits, radii)
     )

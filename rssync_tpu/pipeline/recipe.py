@@ -351,7 +351,13 @@ def run_recipe(
                 f.write(f"{d:g},{c:g}\n")
 
     with timings.stage("sync_all"):
-        if batched:
+        if not syncpoints:
+            # empty schedule (sync_window doesn't fit the frame range):
+            # the reference's loop body just never runs and it writes
+            # an empty CSV (ref :303-316); match that instead of
+            # crashing in stack_windows
+            delays_ms = []
+        elif batched:
             delays_ms = _run_batched(
                 sp, syncpoints, sync_window, initial_delay,
                 use_presync, presync_radius_ms, presync_step_ms, progress,
