@@ -39,16 +39,76 @@ PROC_CHUNK = 128
 RING_SLOTS = 32
 
 
+def _cores() -> int:
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        return os.cpu_count() or 1
+
+
 def available_workers(n_workers: int | None = None) -> int:
-    """Default decoder parallelism: CPU affinity count capped at 4
-    (decode saturates memory bandwidth before 4 streams)."""
+    """Heuristic decoder parallelism: CPU affinity count capped at 4.
+    Used as the cheap default; `probe_workers` replaces it with a
+    measured choice when enough frames are at stake to amortize the
+    probe (the cap-at-4 guess was never validated under real
+    concurrency — this box has 1 core)."""
     if n_workers is not None:
         return max(1, int(n_workers))
-    try:
-        cores = len(os.sched_getaffinity(0))
-    except AttributeError:  # non-Linux
-        cores = os.cpu_count() or 1
-    return max(1, min(4, cores))
+    return max(1, min(4, _cores()))
+
+
+#: measured best worker count per (path, affinity), process lifetime
+_PROBE_CACHE: dict[tuple, int] = {}
+
+#: minimum frames in a run before the measured probe pays for itself
+#: (the probe re-decodes a ~48-frame burst per candidate, ~1-2 s each
+#: including process spawn)
+PROBE_MIN_FRAMES = 400
+
+
+def probe_workers(
+    path: str,
+    height: int,
+    width: int,
+    raw: bool,
+    max_frames: int,
+    burst: int = 48,
+    candidates: Sequence[int] | None = None,
+) -> int:
+    """Pick the worker count by MEASURED decode throughput: time a
+    short DecodePool burst per candidate and keep the fastest. Spawn
+    cost is included in each burst, which biases toward fewer workers
+    — conservative, since real runs amortize spawn over far more
+    frames. Cached per (path, affinity) for the process lifetime."""
+    import time
+
+    cores = _cores()
+    if candidates is None:
+        if cores <= 1:
+            return 1  # processes cannot help without cores to run on
+        candidates = sorted({1, 2, min(4, cores)} | (
+            {min(6, cores)} if cores > 4 else set()
+        ))
+    burst = min(burst, max_frames)
+    if burst < 8:
+        return available_workers(None)
+    key = (os.path.abspath(path), cores, tuple(candidates))
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    best_k, best_dt = 1, float("inf")
+    for k in candidates:
+        t0 = time.perf_counter()
+        with DecodePool(
+            path, [(0, burst)], height, width, raw, k,
+            chunk=max(8, -(-burst // max(k, 1))),
+        ) as pool:
+            for _ in pool.span_frames(0):
+                pass
+        dt = time.perf_counter() - t0
+        if dt < best_dt:
+            best_k, best_dt = k, dt
+    _PROBE_CACHE[key] = best_k
+    return best_k
 
 
 def _decode_worker_main(
@@ -61,10 +121,18 @@ def _decode_worker_main(
     n_slots: int,
     out_q,
     free_sem,
+    delay_s: float = 0.0,
 ) -> None:
     """Decoder process entry: decode `chunks` (frame ranges) in order,
     writing Y planes into the shared ring and (frame_idx, slot, ts)
-    records into out_q. Imports only cv2/numpy — safe under spawn."""
+    records into out_q. Imports only cv2/numpy — safe under spawn.
+
+    delay_s: per-frame sleep after each decode — fault injection for
+    the concurrency stress tests (simulates a slow codec so ring
+    exhaustion / out-of-order worker completion are exercised even on
+    fast tiny fixtures)."""
+    import time
+
     import cv2
     from multiprocessing import shared_memory
 
@@ -87,6 +155,8 @@ def _decode_worker_main(
                     ok, img = cap.read()
                     if not ok:
                         raise RuntimeError(f"frame read failed at {idx}")
+                    if delay_s > 0.0:
+                        time.sleep(delay_s)
                     ts = cap.get(cv2.CAP_PROP_POS_MSEC) / 1000.0
                     free_sem.acquire()
                     if raw:
@@ -124,6 +194,7 @@ class DecodePool:
         n_workers: int,
         chunk: int = PROC_CHUNK,
         slots: int = RING_SLOTS,
+        worker_delay_s: float = 0.0,
     ):
         import multiprocessing as mp
         from multiprocessing import shared_memory
@@ -164,14 +235,28 @@ class DecodePool:
             p = ctx.Process(
                 target=_decode_worker_main,
                 args=(path, raw, height, width, chunks[w::n_workers],
-                      shm.name, slots, q, sem),
+                      shm.name, slots, q, sem, worker_delay_s),
                 daemon=True,
             )
             p.start()
             self._procs.append(p)
 
     def _next_frame(self, w: int) -> tuple[int, int, float]:
-        item = self._qs[w].get()
+        from queue import Empty
+
+        while True:
+            try:
+                item = self._qs[w].get(timeout=1.0)
+                break
+            except Empty:
+                # a killed/crashed worker leaves the queue silent
+                # forever — a plain get() would hang the consumer.
+                # Items already queued before death still drain first.
+                if not self._procs[w].is_alive():
+                    raise RuntimeError(
+                        f"decoder worker {w} died "
+                        f"(exitcode {self._procs[w].exitcode})"
+                    )
         if item is None:
             raise RuntimeError("decoder worker ended early")
         if isinstance(item, tuple) and item and item[0] == "error":

@@ -1605,7 +1605,12 @@ def _range_feeds(
     on a single core the decode-ahead FrameFeed thread (no spawn cost,
     still overlaps device tracking). Both yield bit-identical frames
     (tests/test_tracking.py pins pool-vs-serial equality)."""
-    from rssync_tpu.frontend.decode_pool import DecodePool, available_workers
+    from rssync_tpu.frontend.decode_pool import (
+        PROBE_MIN_FRAMES,
+        DecodePool,
+        available_workers,
+        probe_workers,
+    )
 
     n = available_workers(n_workers)
     if n <= 1 or len(ranges) == 0:
@@ -1615,6 +1620,17 @@ def _range_feeds(
     probe = VideoSource(video_path, raw_luma=raw_luma)
     raw, h, w = probe._raw, probe.height, probe.width
     probe.cap.release()
+    # replace the min(4, cores) guess with a measured-throughput
+    # choice when enough frames are at stake to amortize the probe
+    total = sum(pe + 1 - pb for pb, pe in ranges)
+    if n_workers is None and total >= PROBE_MIN_FRAMES:
+        n = probe_workers(video_path, h, w, raw, total)
+        if n <= 1:  # measured: parallel decode loses on this host
+            for pb, pe in ranges:
+                yield iter(
+                    FrameFeed(video_path, pb, pe + 1, raw_luma=raw_luma)
+                )
+            return
     pool = DecodePool(
         video_path, [(pb, pe + 1) for pb, pe in ranges], h, w, raw, n
     )

@@ -429,3 +429,104 @@ def test_decode_pool_matches_serial(tmp_path):
                 np.testing.assert_array_equal(gray, ref_gray)
                 got += 1
     assert got == sum(e - b for b, e in spans)
+
+
+def _stress_clip(tmp_path, T=96, H=96, W=128):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(11)
+    path = str(tmp_path / "stress.mp4")
+    wr = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (W, H), False
+    )
+    assert wr.isOpened()
+    base = rng.integers(0, 255, (H, W)).astype(np.uint8)
+    for t in range(T):
+        wr.write(np.roll(base, t * 5, axis=1))
+    wr.release()
+    from rssync_tpu.frontend.tracking import VideoSource
+
+    src = VideoSource(path)
+    serial = {}
+    for fr in src.frames(0, T):
+        serial[fr.index] = (fr.timestamp, fr.gray)
+    src.cap.release()
+    return path, src, serial, T
+
+
+@pytest.mark.slow
+def test_decode_pool_four_worker_stress(tmp_path):
+    """Real concurrency (the 1-core dev box only ever degraded to the
+    decode-ahead thread before): 4 worker PROCESSES, a 2-slot ring,
+    tiny chunks, randomized per-worker decode delays (fault-injected
+    slow codec) and a deliberately slow consumer — exercising ring
+    exhaustion, out-of-order worker completion, and consumer
+    backpressure at once. Output must stay bit-identical and
+    in order."""
+    import time
+
+    from rssync_tpu.frontend.decode_pool import DecodePool
+
+    path, src, serial, T = _stress_clip(tmp_path)
+    spans = [(0, 41), (50, T)]
+    with DecodePool(
+        path, spans, src.height, src.width, src._raw,
+        n_workers=4, chunk=3, slots=2, worker_delay_s=0.004,
+    ) as pool:
+        got = 0
+        for si in range(len(spans)):
+            for idx, ts, gray in pool.span_frames(si):
+                ref_ts, ref_gray = serial[idx]
+                assert ts == ref_ts
+                np.testing.assert_array_equal(gray, ref_gray)
+                if got % 16 == 0:
+                    time.sleep(0.05)  # slow consumer: force ring-full
+                got += 1
+    assert got == sum(e - b for b, e in spans)
+
+
+@pytest.mark.slow
+def test_decode_pool_worker_death_raises(tmp_path):
+    """A killed worker must surface as a RuntimeError at the consumer,
+    never an indefinite hang (the pre-fix _next_frame blocked forever
+    on the silent queue)."""
+    from rssync_tpu.frontend.decode_pool import DecodePool
+
+    path, src, serial, T = _stress_clip(tmp_path)
+    with DecodePool(
+        path, [(0, T)], src.height, src.width, src._raw,
+        n_workers=3, chunk=4, slots=2, worker_delay_s=0.02,
+    ) as pool:
+        it = pool.span_frames(0)
+        next(it)  # pool is live
+        victim = pool._procs[1]
+        victim.terminate()
+        victim.join(timeout=10.0)
+        with pytest.raises(RuntimeError, match="died|failed|early"):
+            for _ in it:
+                pass
+
+
+@pytest.mark.slow
+def test_probe_workers_measures(tmp_path):
+    """probe_workers must pick a candidate by measured burst
+    throughput and cache it; with an injected advantage for 1 worker
+    impossible to fake, the chosen count must still decode the whole
+    clip correctly through _range_feeds."""
+    from rssync_tpu.frontend import decode_pool as dp
+
+    path, src, serial, T = _stress_clip(tmp_path)
+    dp._PROBE_CACHE.clear()
+    k = dp.probe_workers(
+        path, src.height, src.width, src._raw, max_frames=T,
+        burst=24, candidates=[1, 2, 4],
+    )
+    assert k in (1, 2, 4)
+    # cached: identical second call, no re-measurement
+    assert dp.probe_workers(
+        path, src.height, src.width, src._raw, max_frames=T,
+        burst=24, candidates=[1, 2, 4],
+    ) == k
+    # too few frames to amortize: falls back to the heuristic
+    assert dp.probe_workers(
+        path, src.height, src.width, src._raw, max_frames=4
+    ) == dp.available_workers(None)
